@@ -1,0 +1,82 @@
+"""Headline benchmark: fused DQN training throughput (obs/s).
+
+Workload matches the reference README benchmark row "(16,16) dense DQN"
+(grid 9, 4 drones, window radius 3, full actor-learner loop: env step +
+ε-greedy act + replay write/read + TD update + target sync), measured as
+``obs_per_sec = num_envs * num_steps / wall_time`` — the identical metric
+definition (reference: train_jax.py:234-236).
+
+Baseline: 3,843 obs/s on TPU v3-8 (reference README.md:78, measured at
+num_envs=1). This benchmark runs the same fused loop at num_envs=1024 on
+one chip; the whole point of the TPU-native rebuild is that throughput
+scales with the env batch.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from dronerl_tpu import replay
+from dronerl_tpu.agents.dqn import DQN, DQNConfig
+from dronerl_tpu.env import core as env_core
+from dronerl_tpu.env.types import EnvParams
+from dronerl_tpu.train import build_train_step, setup_compilation_cache
+
+BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
+NUM_ENVS = 1024
+WARMUP_STEPS = 100
+TIMED_STEPS = 2000
+
+
+def main():
+    setup_compilation_cache("/root/repo/.jax_cache_bench")
+    env_params = EnvParams(grid_size=9, n_drones=4, window_radius=3)
+    config = DQNConfig(
+        network_type="dense", hidden_layers=(16, 16),
+        epsilon_decay_every=5, target_update_interval=10, gamma=0.9)
+    agent = DQN(config, env_params)
+    buffer = replay.ReplayBuffer(capacity=100_000, batch_size=8)
+
+    rng = jax.random.PRNGKey(0)
+    env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)
+    ag_state = agent.init_state(rng)
+    obs = env_core.observe_batch(env_states, env_params)
+    obs = obs[:, :1].reshape(NUM_ENVS, 1, agent.obs_dim)
+    template = {
+        "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    }
+    bstate = buffer.init(template)
+    tick = build_train_step(agent, buffer, env_params, NUM_ENVS, 1, 100)
+
+    @jax.jit
+    def run(carry, dummy):
+        return jax.lax.scan(tick, carry, dummy)
+
+    carry = (rng, env_states, obs, ag_state, bstate, jnp.array(0))
+    carry, _ = run(carry, jnp.zeros((WARMUP_STEPS,)))
+    jax.block_until_ready(carry)
+
+    start = time.perf_counter()
+    carry, (rewards, _) = run(carry, jnp.zeros((TIMED_STEPS,)))
+    jax.block_until_ready(rewards)
+    elapsed = time.perf_counter() - start
+
+    obs_per_sec = NUM_ENVS * TIMED_STEPS / elapsed
+    print(json.dumps({
+        "metric": "train_obs_per_sec_dense16_1024envs",
+        "value": round(obs_per_sec, 1),
+        "unit": "obs/s",
+        "vs_baseline": round(obs_per_sec / BASELINE_OBS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

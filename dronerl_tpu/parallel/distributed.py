@@ -1,0 +1,249 @@
+"""Explicitly sharded training via ``shard_map`` over a device mesh.
+
+Layout (the scaling-book recipe — pick a mesh, place shardings, let XLA
+insert collectives):
+
+* **envs, observations, per-step rewards**: sharded along the ``dp`` axis —
+  each chip owns ``num_envs / num_devices`` worlds and steps them locally,
+  zero communication.
+* **replay buffer storage**: sharded along ``dp`` — each chip keeps a
+  private ring fed by its local envs and samples its local batch. The
+  cursor/size scalars advance identically everywhere, so they stay
+  replicated.
+* **learner (params / target / Adam state / ε)**: replicated. Each chip
+  computes gradients on its local sample; one ``psum`` (pmean) per train
+  step synchronizes them over ICI, after which every chip applies an
+  identical update.
+
+The same program runs multi-host: call
+:func:`dronerl_tpu.parallel.mesh.initialize_distributed` first and build
+the mesh over all global devices; env shards then live host-local and the
+gradient all-reduce spans ICI/DCN. Per-shard PRNG streams derive from
+``fold_in(key, axis_index)`` so trajectories are independent across chips
+yet fully deterministic.
+
+This replaces the reference's implicit-GSPMD single-host path
+(reference: train_jax.py:196-212) with an explicit, multi-host-capable
+design.
+"""
+
+from functools import partial
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dronerl_tpu import replay
+from dronerl_tpu.agents.dqn import DQN
+from dronerl_tpu.constants import NUM_ACTIONS
+from dronerl_tpu.env import core as env_core
+from dronerl_tpu.env.types import EnvParams
+
+
+def ensure_varying(tree: Any, axis: str) -> Any:
+    """Promote constant leaves to 'varying over axis' for vma typing.
+
+    Inside ``shard_map``, values that don't depend on per-shard data (e.g.
+    the constant 100.0 charge of a freshly reset env) type as replicated;
+    ``lax.cond`` then rejects branches mixing them with sharded values.
+    """
+
+    def fix(x):
+        if axis not in jax.typeof(x).vma:
+            return jax.lax.pvary(x, (axis,))
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
+class DistributedTrainer:
+    """Builds jitted, mesh-sharded init and scan-chunk programs."""
+
+    def __init__(
+        self,
+        agent: DQN,
+        env_params: EnvParams,
+        mesh: Mesh,
+        num_envs: int,
+        buffer_capacity_per_shard: int = 10_000,
+        batch_size_per_shard: int = 8,
+        collect_drones: int = 1,
+        reset_env_every: int = 100,
+        axis_name: str = "dp",
+    ):
+        self.agent = agent
+        self.env_params = env_params
+        self.mesh = mesh
+        self.axis = axis_name
+        self.num_devices = mesh.devices.size
+        if num_envs % self.num_devices:
+            raise ValueError(
+                f"num_envs ({num_envs}) must divide over {self.num_devices} devices")
+        self.num_envs = num_envs
+        self.envs_per_shard = num_envs // self.num_devices
+        self.collect_drones = collect_drones
+        self.reset_env_every = reset_env_every
+        self.buffer = replay.ReplayBuffer(
+            capacity=buffer_capacity_per_shard,
+            batch_size=batch_size_per_shard)
+
+        # Carry partition specs: (rng, env_states, obs, ag_state, bstate, step)
+        env_spec = jax.tree.map(lambda _: P(self.axis), self._env_template())
+        bstate_spec = replay.ReplayState(
+            storage=jax.tree.map(lambda _: P(self.axis), self._buffer_template()),
+            cursor=P(),
+            size=P(),
+        )
+        self.carry_specs = (
+            P(),          # host rng (replicated; shards fold in their index)
+            env_spec,     # env states sharded over dp
+            P(self.axis),  # learner observations sharded over dp
+            jax.tree.map(lambda _: P(), self._agent_template()),  # replicated
+            bstate_spec,
+            P(),          # step counter
+        )
+
+    # --- templates used only to derive pytree structure for specs -------
+
+    def _env_template(self):
+        from dronerl_tpu.env.types import empty_state
+
+        return jax.eval_shape(lambda: empty_state(self.env_params))
+
+    def _buffer_template(self):
+        obs_dim = self.agent.obs_dim
+        template = {
+            "obs": jnp.zeros((obs_dim,), jnp.float32),
+            "actions": jnp.array(0, jnp.int32),
+            "rewards": jnp.array(0.0, jnp.float32),
+            "next_obs": jnp.zeros((obs_dim,), jnp.float32),
+            "dones": jnp.array(False, jnp.bool_),
+        }
+        return jax.eval_shape(
+            lambda: replay.init(template, self.buffer.capacity)).storage
+
+    def _agent_template(self):
+        return jax.eval_shape(
+            lambda: self.agent.init_state(jax.random.PRNGKey(0)))
+
+    # --- programs --------------------------------------------------------
+
+    def init_carry(self, rng: jax.Array):
+        """Sharded initial carry: each chip resets and owns its env shard."""
+        agent = self.agent
+        buffer = self.buffer
+        env_params = self.env_params
+        envs_per_shard = self.envs_per_shard
+        k = self.collect_drones
+        axis = self.axis
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(),),
+            out_specs=self.carry_specs,
+        )
+        def _init(rng):
+            shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            env_states = env_core.reset_batch(
+                shard_rng, env_params, envs_per_shard)
+            obs = env_core.observe_batch(env_states, env_params)
+            obs = obs[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+            ag_state = agent.init_state(rng)  # replicated: same key everywhere
+            template = {
+                "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+                "actions": jnp.array(0, jnp.int32),
+                "rewards": jnp.array(0.0, jnp.float32),
+                "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+                "dones": jnp.array(False, jnp.bool_),
+            }
+            bstate = buffer.init(template)
+            return rng, env_states, obs, ag_state, bstate, jnp.array(0)
+
+        return jax.jit(_init)(rng)
+
+    def build_chunk(self, scan_steps: int):
+        """Jitted program running ``scan_steps`` fused train ticks."""
+        agent = self.agent
+        buffer = self.buffer
+        env_params = self.env_params
+        envs_per_shard = self.envs_per_shard
+        k = self.collect_drones
+        reset_env_every = self.reset_env_every
+        axis = self.axis
+
+        def tick(carry, _):
+            rng, env_states, obs, ag_state, bstate, step = carry
+            # Per-shard stream: fold the replicated key with the chip index.
+            local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            local = jax.random.fold_in(local, step)
+            rand_key, act_key, step_key, sample_key, reset_key = (
+                jax.random.split(local, 5))
+
+            actions = jax.random.randint(
+                rand_key, (envs_per_shard, env_params.n_drones), 0, NUM_ACTIONS)
+            dqn_actions = agent.act(act_key, obs[:, 0], ag_state)
+            actions = actions.at[:, 0].set(dqn_actions)
+
+            step_keys = jax.random.split(step_key, envs_per_shard)
+            env_states, rewards, dones = env_core.step_batch(
+                step_keys, env_states, actions, env_params)
+            next_obs = env_core.observe_batch(env_states, env_params)
+            next_obs = next_obs[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+
+            exps = {
+                "obs": obs.reshape(envs_per_shard * k, agent.obs_dim),
+                "actions": actions[:, :k].reshape(-1),
+                "rewards": rewards[:, :k].reshape(-1),
+                "next_obs": next_obs.reshape(envs_per_shard * k, agent.obs_dim),
+                "dones": dones[:, :k].reshape(-1),
+            }
+            bstate = buffer.push_many(bstate, exps)
+
+            def do_train(operand):
+                ag, bs, key = operand
+                batch = buffer.sample(key, bs)
+                batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+                return agent.train_step_distributed(ag, batch, axis)
+
+            def no_train(operand):
+                zero = jax.lax.pmean(0.0, axis)
+                return operand[0], zero
+
+            ag_state, loss = jax.lax.cond(
+                buffer.can_sample(bstate),
+                do_train, no_train,
+                (ag_state, bstate, sample_key))
+
+            ag_state = jax.lax.cond(
+                step % agent.config.target_update_interval == 0,
+                agent.update_target, lambda s: s, ag_state)
+            ag_state = jax.lax.cond(
+                agent.should_decay_epsilon(step, jnp.array(False)),
+                agent.decay_epsilon, lambda s: s, ag_state)
+
+            def fresh(rkey):
+                states = env_core.reset_batch(rkey, env_params, envs_per_shard)
+                o = env_core.observe_batch(states, env_params)
+                o = o[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+                return ensure_varying((states, o), axis)
+
+            env_states, next_obs = jax.lax.cond(
+                step % reset_env_every == 0,
+                fresh, lambda _: (env_states, next_obs), reset_key)
+
+            rng = jax.random.fold_in(rng, 1)
+            carry = (rng, env_states, next_obs, ag_state, bstate, step + 1)
+            return carry, rewards[:, 0]
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(self.carry_specs,),
+            out_specs=(self.carry_specs, P(None, axis)),
+        )
+        def chunk(carry):
+            return jax.lax.scan(tick, carry, length=scan_steps)
+
+        return jax.jit(chunk)

@@ -1,0 +1,528 @@
+"""End-to-end on-device DQN training.
+
+The entire actor-learner loop — batched env physics, ε-greedy inference,
+replay writes/reads, TD backward, Adam, target sync, periodic env resets —
+is a single jitted ``lax.scan`` body. Host↔device traffic happens only at
+chunk boundaries (every ``--max_scan_steps``) and at eval/checkpoint
+points, so the TPU never stalls on Python.
+
+CLI surface mirrors the reference trainer (reference: train_jax.py:322-389)
+with additions: ``--collect_drones`` (learn from the first k drones of
+every env instead of only drone 0), ``--profile`` (dump a
+``jax.profiler`` trace), ``--save_train_state`` / ``--resume_from``
+(full-state checkpointing) and ``--bf16_inference``.
+
+Run:  python -m dronerl_tpu.train --num_envs 1024 --num_steps 100000
+"""
+
+import argparse
+import ast
+import json
+import logging
+import math
+import os
+import statistics
+from datetime import datetime
+from timeit import default_timer as timer
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dronerl_tpu import replay
+from dronerl_tpu.agents.dqn import DQN, DQNConfig, DQNState
+from dronerl_tpu.constants import NUM_ACTIONS
+from dronerl_tpu.env import core as env_core
+from dronerl_tpu.env.types import EnvParams
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s [%(levelname)-5.5s] [%(name)-12.12s]: %(message)s",
+)
+logger = logging.getLogger("dronerl_tpu.train")
+
+
+def setup_compilation_cache(path: str = "./jax_cache") -> None:
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def env_params_from_args(args, eval_mode: bool = False) -> EnvParams:
+    n_drones = args.n_drones
+    grid_size = args.grid_size
+    if eval_mode:
+        n_drones = args.eval_n_drones or n_drones
+        grid_size = args.eval_grid_size or grid_size
+    return EnvParams(
+        n_drones=n_drones,
+        grid_size=grid_size,
+        window_radius=args.window_radius,
+        pickup_reward=args.pickup_reward,
+        delivery_reward=args.delivery_reward,
+        crash_reward=args.crash_reward,
+        charge_reward=args.charge_reward,
+        packets_factor=args.packets_factor,
+        dropzones_factor=args.dropzones_factor,
+        stations_factor=args.stations_factor,
+        skyscrapers_factor=args.skyscrapers_factor,
+        wrapper=args.wrapper,
+    )
+
+
+def agent_config_from_args(args) -> DQNConfig:
+    if args.epsilon_decay is None:
+        # ε reaches 50% of its range after the configured half-life
+        # fraction of training (matches the reference derivation).
+        eps_decay = (
+            1 - 0.5 * (1 - args.epsilon_end / args.epsilon_start)
+        ) ** (1 / (args.epsilon_decay_half_life_fraction * args.num_steps))
+    else:
+        eps_decay = args.epsilon_decay
+    return DQNConfig(
+        network_type=args.network_type,
+        hidden_layers=tuple(args.hidden_layers),
+        conv_layers=args.conv_layers,
+        conv_dense_layers=tuple(args.conv_dense_layers),
+        target_update_interval=args.target_update_interval,
+        epsilon_start=args.epsilon_start,
+        epsilon_decay=eps_decay,
+        epsilon_end=args.epsilon_end,
+        epsilon_decay_every=args.epsilon_decay_every,
+        gamma=args.gamma,
+        learning_rate=args.learning_rate,
+    )
+
+
+def build_train_step(
+    agent: DQN,
+    buffer: replay.ReplayBuffer,
+    env_params: EnvParams,
+    num_envs: int,
+    collect_drones: int,
+    reset_env_every: int,
+):
+    """Construct the fused scan body. Pure function of its carry."""
+    obs_dim = agent.obs_dim
+
+    def flatten_obs(full_obs: jax.Array) -> jax.Array:
+        # (E, N, w, w, c) → (E, collect_drones, obs_dim)
+        return full_obs[:, :collect_drones].reshape(
+            num_envs, collect_drones, obs_dim)
+
+    def tick(carry, _):
+        rng, env_states, obs, ag_state, bstate, step = carry
+
+        # Opponent policy: uniform random for every drone in every env.
+        rng, rand_key = jax.random.split(rng)
+        actions = jax.random.randint(
+            rand_key, (num_envs, env_params.n_drones), 0, NUM_ACTIONS)
+
+        # Learner policy: one batched forward pass for all envs at once.
+        rng, act_key = jax.random.split(rng)
+        dqn_actions = agent.act(act_key, obs[:, 0], ag_state)
+        actions = actions.at[:, 0].set(dqn_actions)
+
+        # Physics.
+        rng, step_key = jax.random.split(rng)
+        step_keys = jax.random.split(step_key, num_envs)
+        env_states, rewards, dones = env_core.step_batch(
+            step_keys, env_states, actions, env_params)
+        next_obs = flatten_obs(env_core.observe_batch(env_states, env_params))
+
+        # Replay: drone-0 (or first-k-drones) experience from every env.
+        k = collect_drones
+        exps = {
+            "obs": obs.reshape(num_envs * k, obs_dim),
+            "actions": actions[:, :k].reshape(-1),
+            "rewards": rewards[:, :k].reshape(-1),
+            "next_obs": next_obs.reshape(num_envs * k, obs_dim),
+            "dones": dones[:, :k].reshape(-1),
+        }
+        bstate = buffer.push_many(bstate, exps)
+
+        # Learn once the buffer is warm.
+        rng, sample_key = jax.random.split(rng)
+
+        def do_train(operand):
+            ag, bs, key = operand
+            batch = buffer.sample(key, bs)
+            batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+            ag, loss = agent.train_step(ag, batch)
+            return ag, loss
+
+        ag_state, loss = jax.lax.cond(
+            buffer.can_sample(bstate),
+            do_train,
+            lambda operand: (operand[0], 0.0),
+            (ag_state, bstate, sample_key),
+        )
+
+        # Target sync + exploration schedule.
+        ag_state = jax.lax.cond(
+            step % agent.config.target_update_interval == 0,
+            agent.update_target,
+            lambda s: s,
+            ag_state,
+        )
+        ag_state = jax.lax.cond(
+            agent.should_decay_epsilon(step, dones[0, 0]),
+            agent.decay_epsilon,
+            lambda s: s,
+            ag_state,
+        )
+
+        # Periodic full reset keeps the task distribution stationary.
+        def fresh_envs(reset_rng):
+            states = env_core.reset_batch(reset_rng, env_params, num_envs)
+            return states, flatten_obs(
+                env_core.observe_batch(states, env_params))
+
+        rng, reset_key = jax.random.split(rng)
+        env_states, next_obs = jax.lax.cond(
+            step % reset_env_every == 0,
+            fresh_envs,
+            lambda _: (env_states, next_obs),
+            reset_key,
+        )
+
+        carry = (rng, env_states, next_obs, ag_state, bstate, step + 1)
+        return carry, (rewards[:, 0], ag_state.epsilon)
+
+    return tick
+
+
+def evaluate(
+    args,
+    agent: DQN,
+    ag_state: DQNState,
+) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+    """Greedy eval of drone 0 vs random opponents, vmapped over seeds.
+
+    All ``num_evals`` evaluation episodes run as one compiled program: the
+    seed axis is just another batch dimension (the reference loops over
+    seeds in Python, reference: train_jax.py:308-316).
+    """
+    env_params = env_params_from_args(args, eval_mode=True)
+    num_seeds = args.num_evals
+    seeds = jnp.arange(num_seeds, dtype=jnp.uint32) + args.eval_seed
+    reset_keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    obs_dim = agent.obs_dim
+
+    def episode_rewards(reset_key):
+        state = env_core.reset(reset_key, env_params)
+
+        def tick(carry, _):
+            rng, st = carry
+            rng, act_key, step_key = jax.random.split(rng, 3)
+            actions = jax.random.randint(
+                act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
+            obs = env_core.observe(st, env_params)[:1].reshape(1, obs_dim)
+            greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
+            actions = actions.at[0].set(greedy)
+            st, rewards, _ = env_core.step(step_key, st, actions, env_params)
+            return (rng, st), rewards
+
+        (_, _), rewards = jax.lax.scan(
+            tick, (reset_key, state), length=args.num_eval_steps)
+        return rewards  # (steps, N)
+
+    rewards = jax.jit(jax.vmap(episode_rewards))(reset_keys)
+    per_seed_agent = np.asarray(jnp.mean(rewards[:, :, 0], axis=1))
+    if env_params.n_drones > 1:
+        per_seed_random = np.asarray(jnp.mean(rewards[:, :, 1], axis=1))
+    else:
+        per_seed_random = np.zeros(num_seeds)
+    mean = statistics.mean(per_seed_agent.tolist())
+    std = statistics.stdev(per_seed_agent.tolist()) if num_seeds > 1 else 0.0
+    rmean = statistics.mean(per_seed_random.tolist())
+    rstd = statistics.stdev(per_seed_random.tolist()) if num_seeds > 1 else 0.0
+    return (mean, std), (rmean, rstd)
+
+
+def train(args) -> dict:
+    setup_compilation_cache(args.jax_cache_dir)
+    env_params = env_params_from_args(args)
+    agent_config = agent_config_from_args(args)
+    logger.info("Env params: %s", env_params)
+    logger.info("Agent config: %s", agent_config)
+    logger.info("Devices (%d): %s", jax.device_count(), jax.devices())
+
+    run = None
+    if args.wandb:
+        import wandb
+
+        run = wandb.init(
+            project=args.wandb_project,
+            group=args.wandb_group,
+            entity=args.wandb_entity,
+            config=vars(args),
+        )
+
+    run_dir = args.run_dir or os.path.join(
+        "output", f"run_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
+    os.makedirs(run_dir, exist_ok=True)
+    logger.info("Run dir: %s", run_dir)
+
+    agent = DQN(agent_config, env_params)
+    rng = jax.random.PRNGKey(args.seed)
+    scan_steps = min(args.num_steps, args.max_scan_steps)
+
+    if args.use_sharding:
+        # Explicit mesh + shard_map: envs and replay shards per chip,
+        # replicated learner, psum gradient sync over ICI.
+        from dronerl_tpu.parallel import DistributedTrainer, make_env_mesh
+
+        if agent_config.epsilon_decay_every is None:
+            raise ValueError(
+                "--use_sharding requires --epsilon_decay_every (episode-"
+                "boundary ε decay is not defined across env shards)")
+        mesh = make_env_mesh()
+        ndev = mesh.devices.size
+        trainer = DistributedTrainer(
+            agent, env_params, mesh,
+            num_envs=args.num_envs,
+            buffer_capacity_per_shard=max(1, args.memory_size // ndev),
+            batch_size_per_shard=max(1, args.batch_size // ndev),
+            collect_drones=args.collect_drones,
+            reset_env_every=args.reset_env_every,
+        )
+        carry = trainer.init_carry(rng)
+        chunk_fn = trainer.build_chunk(scan_steps)
+
+        def run_chunk(carry, _dummy):
+            carry, rewards = chunk_fn(carry)
+            return carry, (rewards, carry[-3].epsilon)
+    else:
+        buffer = replay.ReplayBuffer(
+            capacity=args.memory_size, batch_size=args.batch_size)
+        env_states = env_core.reset_batch(rng, env_params, args.num_envs)
+        ag_state = agent.init_state(rng)
+        obs = env_core.observe_batch(env_states, env_params)
+        obs = obs[:, : args.collect_drones].reshape(
+            args.num_envs, args.collect_drones, agent.obs_dim)
+
+        template = {
+            "obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
+            "actions": jnp.array(0, dtype=jnp.int32),
+            "rewards": jnp.array(0.0, dtype=jnp.float32),
+            "next_obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
+            "dones": jnp.array(False, dtype=jnp.bool_),
+        }
+        bstate = buffer.init(template)
+        tick = build_train_step(
+            agent, buffer, env_params, args.num_envs,
+            args.collect_drones, args.reset_env_every)
+
+        @jax.jit
+        def run_chunk(carry, length_dummy):
+            return jax.lax.scan(tick, carry, length_dummy)
+
+        carry = (rng, env_states, obs, ag_state, bstate, jnp.array(0))
+    if args.resume_from:
+        from dronerl_tpu.interop import train_state_io
+
+        carry = train_state_io.restore(args.resume_from, carry)
+        logger.info("Resumed training state from %s (step %s)",
+                    args.resume_from, int(carry[-1]))
+
+    num_chunks = math.ceil(args.num_steps / scan_steps)
+    dummy = jnp.zeros((scan_steps,))
+
+    if args.profile:
+        profile_dir = os.path.join(run_dir, "profile")
+        carry, _ = run_chunk(carry, dummy)  # warm-up/compile outside trace
+        jax.block_until_ready(carry)
+        jax.profiler.start_trace(profile_dir)
+
+    ts = timer()
+    rewards = None
+    for chunk in range(num_chunks):
+        if args.eval_while_training and chunk > 0:
+            step = chunk * scan_steps
+            (emean, estd), (rmean, rstd) = evaluate(args, agent, carry[-3])
+            logger.info(
+                "eval @ step %s: agent %.3f ± %.3f | random %.3f ± %.3f",
+                f"{step:,}", emean, estd, rmean, rstd)
+            if run:
+                run.log({"eval_reward": emean, "random_reward": rmean}, step=step)
+        carry, (rewards, epsilons) = run_chunk(carry, dummy)
+    jax.block_until_ready(rewards)
+    elapsed = timer() - ts
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info("Profiler trace written under %s", profile_dir)
+
+    total_steps = num_chunks * scan_steps
+    obs_per_sec = args.num_envs * total_steps / elapsed
+    metrics = {"obs_per_sec": obs_per_sec, "time_taken": elapsed}
+    logger.info(
+        "Trained %s steps × %s envs in %.2fs → %s obs/s",
+        f"{total_steps:,}", f"{args.num_envs:,}", elapsed,
+        f"{obs_per_sec:,.0f}")
+
+    ag_state = carry[-3]
+    if args.save_final_checkpoint:
+        jax_path = os.path.join(
+            run_dir, f"agent_{args.num_steps}_steps_jax.safetensors")
+        torch_path = os.path.join(
+            run_dir, f"agent_{args.num_steps}_steps_torch.safetensors")
+        agent.save(jax_path, ag_state)
+        agent.save_as_torch(torch_path, ag_state)
+        logger.info("Saved checkpoints: %s, %s", jax_path, torch_path)
+        if run:
+            import wandb
+
+            artifact = wandb.Artifact(
+                name=f"checkpoint_{args.num_steps}_steps", type="model")
+            artifact.add_file(local_path=jax_path)
+            artifact.add_file(local_path=torch_path)
+            run.log_artifact(artifact)
+
+    if args.save_train_state:
+        from dronerl_tpu.interop import train_state_io
+
+        state_path = os.path.join(run_dir, "train_state.msgpack")
+        train_state_io.save(state_path, carry)
+        logger.info("Saved full training state to %s", state_path)
+
+    if not args.skip_final_eval:
+        (emean, estd), (rmean, rstd) = evaluate(args, agent, ag_state)
+        metrics["eval_reward_mean"] = emean
+        metrics["eval_reward_std"] = estd
+        logger.info(
+            "Final eval: agent %.3f ± %.3f | random %.3f ± %.3f",
+            emean, estd, rmean, rstd)
+        if run:
+            run.log({"eval_reward": emean, "random_reward": rmean},
+                    step=args.num_steps)
+
+    if args.render_video:
+        from dronerl_tpu.render.video import render_policy_video
+
+        video_path = os.path.join(
+            run_dir, f"training_{args.num_steps}_steps.mp4")
+        render_policy_video(
+            env_params, agent, ag_state, video_path,
+            num_steps=args.render_video_steps)
+        logger.info("Rendered video: %s", video_path)
+        if run:
+            import wandb
+
+            run.log({"eval_video": wandb.Video(video_path, format="mp4")},
+                    step=args.num_steps)
+
+    with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    if run:
+        run.finish()
+    return metrics
+
+
+def parse_conv_layers(value: str):
+    try:
+        layers = json.loads(value)
+    except json.JSONDecodeError:
+        try:
+            layers = ast.literal_eval(value)
+        except (SyntaxError, ValueError):
+            raise argparse.ArgumentTypeError(
+                f"Invalid format for conv_layers: {value}")
+    if isinstance(layers, dict):
+        return (layers,)
+    return tuple(layers)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    # env
+    p.add_argument("--n_drones", type=int, default=4)
+    p.add_argument("--grid_size", type=int, default=9)
+    p.add_argument("--window_radius", type=int, default=3)
+    p.add_argument("--wrapper", choices=["window", "global"], default="window")
+    p.add_argument("--packets_factor", type=int, default=3)
+    p.add_argument("--dropzones_factor", type=int, default=2)
+    p.add_argument("--stations_factor", type=int, default=2)
+    p.add_argument("--skyscrapers_factor", type=int, default=3)
+    p.add_argument("--num_envs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    # training
+    p.add_argument("--num_steps", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--memory_size", type=int, default=100_000)
+    p.add_argument("--epsilon_start", type=float, default=1.0)
+    p.add_argument("--epsilon_decay", type=float, default=None)
+    p.add_argument("--epsilon_decay_half_life_fraction", type=float, default=0.2)
+    p.add_argument("--epsilon_end", type=float, default=0.01)
+    p.add_argument("--epsilon_decay_every", type=int, default=5)
+    p.add_argument("--target_update_interval", type=int, default=10)
+    p.add_argument("--gamma", type=float, default=0.9)
+    p.add_argument("--reset_env_every", type=int, default=100)
+    p.add_argument("--tau", type=float, default=1.0)
+    p.add_argument("--collect_drones", type=int, default=1,
+                   help="Learn from the first k drones of every env")
+    p.add_argument("--max_scan_steps", type=int, default=100_000)
+    p.add_argument("--save_final_checkpoint", action="store_true")
+    p.add_argument("--save_train_state", action="store_true",
+                   help="Persist full training state (params/opt/ε/buffer/envs)")
+    p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--use_sharding", action="store_true",
+                   help="Shard envs across all local devices")
+    p.add_argument("--run_dir", type=str, default=None)
+    p.add_argument("--jax_cache_dir", type=str, default="./jax_cache")
+    p.add_argument("--profile", action="store_true")
+    # model
+    p.add_argument("--network_type", choices=["dense", "conv"], default="dense")
+    p.add_argument("--hidden_layers", nargs="+", type=int, default=(16, 16))
+    p.add_argument(
+        "--conv_layers", type=parse_conv_layers,
+        default='[{"kernel_size": 3, "out_channels": 8, "padding": 1, "stride": 1}]')
+    p.add_argument("--conv_dense_layers", nargs="+", type=int, default=())
+    # rewards
+    p.add_argument("--pickup_reward", type=float, default=0.0)
+    p.add_argument("--delivery_reward", type=float, default=1.0)
+    p.add_argument("--crash_reward", type=float, default=-1.0)
+    p.add_argument("--charge_reward", type=float, default=-0.1)
+    # eval
+    p.add_argument("--eval_n_drones", type=int, default=None)
+    p.add_argument("--eval_grid_size", type=int, default=None)
+    p.add_argument("--eval_seed", type=int, default=0)
+    p.add_argument("--num_eval_steps", type=int, default=10_000)
+    p.add_argument("--num_evals", type=int, default=5)
+    p.add_argument("--eval_while_training", action="store_true")
+    p.add_argument("--skip_final_eval", action="store_true")
+    # video
+    p.add_argument("--render_video", action="store_true")
+    p.add_argument("--render_video_steps", type=int, default=200)
+    # W&B
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project", type=str, default="dronerl-tpu")
+    p.add_argument("--wandb_entity", type=str, default=None)
+    p.add_argument("--wandb_group", type=str, default=None)
+    args = p.parse_args(argv)
+
+    if isinstance(args.conv_layers, str):
+        args.conv_layers = parse_conv_layers(args.conv_layers)
+    if args.num_envs <= 0:
+        raise ValueError("num_envs must be >= 1")
+    if args.num_steps <= 0:
+        raise ValueError("num_steps must be >= 1")
+    if args.collect_drones < 1 or args.collect_drones > args.n_drones:
+        raise ValueError("collect_drones must be in [1, n_drones]")
+    if args.use_sharding and args.num_envs % jax.device_count() != 0:
+        raise ValueError(
+            f"num_envs ({args.num_envs}) must be divisible by the device "
+            f"count ({jax.device_count()}) when sharding")
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Bitwise trajectory parity against the reference JAX environment.
+
+Runs both environments in the same process with identical PRNG keys and
+asserts exact equality of every state leaf, reward, done flag and
+observation over long random rollouts. This is the determinism lock that
+BASELINE.md demands ("bitwise-matching env rollouts at fixed seed").
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+import jax
+import jax.numpy as jnp
+
+from dronerl_tpu.env import core
+from dronerl_tpu.env.types import EnvParams
+
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
+
+try:
+    from jax_impl.env.env import DeliveryDrones as RefEnv
+    from jax_impl.env.env import DroneEnvParams as RefParams
+except ImportError:  # pragma: no cover - reference not mounted
+    RefEnv = RefParams = None
+
+
+def assert_states_equal(ours, ref, context=""):
+    np.testing.assert_array_equal(
+        np.asarray(ours.ground), np.asarray(ref.ground), err_msg=f"ground {context}")
+    np.testing.assert_array_equal(
+        np.asarray(ours.air_x), np.asarray(ref.air_x), err_msg=f"air_x {context}")
+    np.testing.assert_array_equal(
+        np.asarray(ours.air_y), np.asarray(ref.air_y), err_msg=f"air_y {context}")
+    np.testing.assert_array_equal(
+        np.asarray(ours.carrying_package), np.asarray(ref.carrying_package),
+        err_msg=f"carrying {context}")
+    np.testing.assert_array_equal(
+        np.asarray(ours.charge), np.asarray(ref.charge), err_msg=f"charge {context}")
+
+
+CONFIGS = [
+    dict(),  # reference defaults: 8x8 grid, 3 drones
+    dict(grid_size=9, n_drones=4),  # train_jax.py CLI defaults
+    dict(grid_size=16, n_drones=8),
+    dict(grid_size=12, n_drones=2, packets_factor=1, dropzones_factor=1,
+         stations_factor=1, skyscrapers_factor=2, window_radius=2),
+]
+
+
+@requires_reference
+@pytest.mark.parametrize("cfg", CONFIGS)
+@pytest.mark.parametrize("seed", [0, 123])
+def test_bitwise_rollout_parity(cfg, seed):
+    ours_params = EnvParams(**cfg)
+    ref_params = RefParams(**cfg)
+    ref_env = RefEnv()
+
+    key = jax.random.PRNGKey(seed)
+    ours = core.reset(key, ours_params)
+    theirs = ref_env.reset(key, ref_params)
+    assert_states_equal(ours, theirs, "after reset")
+
+    ref_step = jax.jit(ref_env.step, static_argnums=(3,))
+    our_step = jax.jit(core.step, static_argnames=("params",))
+    ref_obs = jax.jit(ref_env.get_obs, static_argnums=(1,))
+    our_obs = jax.jit(core.observe, static_argnames=("params",))
+
+    rng = key
+    for t in range(300):
+        rng, act_key, step_key = jax.random.split(rng, 3)
+        actions = jax.random.randint(
+            act_key, (ours_params.n_drones,), 0, 5, dtype=jnp.int32)
+        ours, r_ours, d_ours = our_step(step_key, ours, actions, params=ours_params)
+        theirs, r_ref, d_ref = ref_step(step_key, theirs, actions, ref_params)
+        assert_states_equal(ours, theirs, f"at step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(r_ours), np.asarray(r_ref), err_msg=f"rewards at step {t}")
+        np.testing.assert_array_equal(
+            np.asarray(d_ours), np.asarray(d_ref), err_msg=f"dones at step {t}")
+        if t % 25 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(our_obs(ours, params=ours_params)),
+                np.asarray(ref_obs(theirs, ref_params)),
+                err_msg=f"obs at step {t}")
+
+
+@requires_reference
+def test_batched_parity_matches_vmapped_reference():
+    """vmapped rollouts (the training configuration) also match bitwise."""
+    cfg = dict(grid_size=9, n_drones=4)
+    ours_params = EnvParams(**cfg)
+    ref_params = RefParams(**cfg)
+    ref_env = RefEnv()
+    num_envs = 8
+
+    root = jax.random.PRNGKey(0)
+    reset_keys = jax.random.split(root, num_envs)
+    ours = core.reset_batch(root, ours_params, num_envs)
+    theirs = jax.vmap(ref_env.reset, in_axes=(0, None))(reset_keys, ref_params)
+    assert_states_equal(ours, theirs, "after batched reset")
+
+    ref_step = jax.jit(
+        jax.vmap(ref_env.step, in_axes=(0, 0, 0, None)), static_argnums=(3,))
+    rng = root
+    for t in range(50):
+        rng, act_key, step_key = jax.random.split(rng, 3)
+        step_keys = jax.random.split(step_key, num_envs)
+        actions = jax.random.randint(
+            act_key, (num_envs, ours_params.n_drones), 0, 5, dtype=jnp.int32)
+        ours, r_ours, d_ours = core.step_batch(step_keys, ours, actions, ours_params)
+        theirs, r_ref, d_ref = ref_step(step_keys, theirs, actions, ref_params)
+        assert_states_equal(ours, theirs, f"at step {t}")
+        np.testing.assert_array_equal(np.asarray(r_ours), np.asarray(r_ref))
+        np.testing.assert_array_equal(np.asarray(d_ours), np.asarray(d_ref))

@@ -1,0 +1,100 @@
+"""Replay ring-buffer unit tests: cursor wrap, batch writes, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dronerl_tpu import replay
+
+
+def template():
+    return {
+        "obs": jnp.zeros((4,), dtype=jnp.float32),
+        "actions": jnp.array(0, dtype=jnp.int32),
+        "rewards": jnp.array(0.0, dtype=jnp.float32),
+        "dones": jnp.array(False, dtype=jnp.bool_),
+    }
+
+
+def exp(i):
+    return {
+        "obs": jnp.full((4,), float(i), dtype=jnp.float32),
+        "actions": jnp.array(i, dtype=jnp.int32),
+        "rewards": jnp.array(float(i), dtype=jnp.float32),
+        "dones": jnp.array(i % 2 == 0, dtype=jnp.bool_),
+    }
+
+
+def test_init_shapes():
+    buf = replay.ReplayBuffer(capacity=10, batch_size=4)
+    state = buf.init(template())
+    assert state.storage["obs"].shape == (10, 4)
+    assert state.storage["actions"].shape == (10,)
+    assert int(state.cursor) == 0 and int(state.size) == 0
+
+
+def test_push_and_wraparound():
+    buf = replay.ReplayBuffer(capacity=5, batch_size=2)
+    state = buf.init(template())
+    for i in range(7):  # two past capacity
+        state = buf.push(state, exp(i))
+    assert int(state.cursor) == 2
+    assert int(state.size) == 5
+    # oldest surviving entries are 2..6; slots 0,1 hold 5,6
+    np.testing.assert_array_equal(
+        np.asarray(state.storage["actions"]), [5, 6, 2, 3, 4])
+
+
+def test_push_many_wraparound_split():
+    buf = replay.ReplayBuffer(capacity=8, batch_size=2)
+    state = buf.init(template())
+    for i in range(6):
+        state = buf.push(state, exp(i))
+    batch = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves), *[exp(i) for i in (10, 11, 12, 13)])
+    state = buf.push_many(state, batch)
+    assert int(state.cursor) == 2
+    assert int(state.size) == 8
+    np.testing.assert_array_equal(
+        np.asarray(state.storage["actions"]), [12, 13, 2, 3, 4, 5, 10, 11])
+
+
+def test_can_sample_gate():
+    buf = replay.ReplayBuffer(capacity=10, batch_size=4)
+    state = buf.init(template())
+    assert not bool(buf.can_sample(state))
+    for i in range(4):
+        state = buf.push(state, exp(i))
+    assert bool(buf.can_sample(state))
+
+
+def test_sample_shapes_and_validity():
+    buf = replay.ReplayBuffer(capacity=10, batch_size=6)
+    state = buf.init(template())
+    for i in range(7):
+        state = buf.push(state, exp(i))
+    batch = buf.sample(jax.random.PRNGKey(0), state)
+    assert batch["obs"].shape == (6, 4)
+    # sampled entries must come from the valid prefix (values 0..6)
+    acts = np.asarray(batch["actions"])
+    assert ((acts >= 0) & (acts <= 6)).all()
+    # consistency between fields of each sampled experience
+    np.testing.assert_array_equal(acts.astype(np.float32),
+                                  np.asarray(batch["rewards"]))
+
+
+def test_push_many_jit_in_scan():
+    """The buffer must compose with lax.scan (the training loop shape)."""
+    buf = replay.ReplayBuffer(capacity=16, batch_size=4)
+    state = buf.init(template())
+
+    def body(bstate, i):
+        batch = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(leaf, (2, *leaf.shape)).astype(leaf.dtype),
+            exp(0),
+        )
+        return buf.push_many(bstate, batch), ()
+
+    final, _ = jax.lax.scan(body, state, jnp.arange(10))
+    assert int(final.size) == 16
+    assert int(final.cursor) == 4
