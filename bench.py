@@ -28,8 +28,8 @@ from dronerl_tpu.train import build_train_step, setup_compilation_cache
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
 NUM_ENVS = 1024
-WARMUP_STEPS = 100
 TIMED_STEPS = 2000
+TIMED_REPEATS = 4
 
 
 def main():
@@ -44,8 +44,8 @@ def main():
     rng = jax.random.PRNGKey(0)
     env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)
     ag_state = agent.init_state(rng)
-    obs = env_core.observe_batch(env_states, env_params)
-    obs = obs[:, :1].reshape(NUM_ENVS, 1, agent.obs_dim)
+    obs = env_core.observe_batch(env_states, env_params, 1)
+    obs = obs.reshape(NUM_ENVS, 1, agent.obs_dim)
     template = {
         "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "actions": jnp.array(0, jnp.int32),
@@ -61,15 +61,23 @@ def main():
         return jax.lax.scan(tick, carry, dummy)
 
     carry = (rng, env_states, obs, ag_state, bstate, jnp.array(0))
-    carry, _ = run(carry, jnp.zeros((WARMUP_STEPS,)))
-    jax.block_until_ready(carry)
+    # Warm up with the same scan length so compilation and buffer fill are
+    # excluded from the timed region.
+    dummy = jnp.zeros((TIMED_STEPS,))
+    carry, (rewards, _) = run(carry, dummy)
+    float(rewards.sum())  # hard host sync (block_until_ready can lie on
+    #                        tunneled backends; a host transfer cannot)
 
+    # Time several back-to-back iterations as one region. The final host
+    # read is data-dependent on every iteration through the carry chain,
+    # so asynchronous dispatch cannot fake it.
     start = time.perf_counter()
-    carry, (rewards, _) = run(carry, jnp.zeros((TIMED_STEPS,)))
-    jax.block_until_ready(rewards)
+    for _ in range(TIMED_REPEATS):
+        carry, (rewards, _) = run(carry, dummy)
+    float(rewards.sum())
     elapsed = time.perf_counter() - start
 
-    obs_per_sec = NUM_ENVS * TIMED_STEPS / elapsed
+    obs_per_sec = NUM_ENVS * TIMED_STEPS * TIMED_REPEATS / elapsed
     print(json.dumps({
         "metric": "train_obs_per_sec_dense16_1024envs",
         "value": round(obs_per_sec, 1),

@@ -31,7 +31,7 @@ predicate with a scatter-add occupancy histogram
 batches natively. Parity is asserted in tests/test_reference_parity.py.
 """
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ from dronerl_tpu.constants import Action, Object, NUM_OBS_CHANNELS
 from dronerl_tpu.env.spawn import place_on_ground, place_in_air
 from dronerl_tpu.env.types import EnvParams, EnvState
 from dronerl_tpu.ops.collision import same_cell_conflicts
+from dronerl_tpu.ops.pointops import place_values, point_lookup, wrap_clamp
 from dronerl_tpu.ops.window import crop_windows
 
 
@@ -68,7 +69,7 @@ def reset(key: jax.Array, params: EnvParams) -> EnvState:
         exclude=(grid == Object.SKYSCRAPER),
     )
 
-    carrying = grid[air_y, air_x] == Object.PACKET
+    carrying = point_lookup(grid, air_y, air_x) == Object.PACKET
     lifted = jnp.zeros_like(grid, dtype=jnp.bool_).at[air_y, air_x].set(carrying)
     grid = grid * ~lifted
 
@@ -107,14 +108,21 @@ def step(
     off_board = (new_y < 0) | (new_y >= g) | (new_x < 0) | (new_x >= g)
     in_y = jnp.clip(new_y, 0, g - 1)
     in_x = jnp.clip(new_x, 0, g - 1)
-    hit_skyscraper = (state.ground[in_y, in_x] == Object.SKYSCRAPER) & ~off_board
+    hit_skyscraper = (
+        point_lookup(state.ground, in_y, in_x) == Object.SKYSCRAPER
+    ) & ~off_board
     hit_drone = same_cell_conflicts(new_x, new_y, g)
     collided = off_board | hit_skyscraper | hit_drone
 
+    # The cell each drone lands on, with jnp's wrap-then-clamp gather
+    # semantics for one-step-off-board coordinates (the reference reads
+    # `ground[new_y, new_x]` unclipped; those drones are all `collided`,
+    # so the normalized read never changes behavior).
+    target_cell = point_lookup(
+        state.ground, wrap_clamp(new_y, g), wrap_clamp(new_x, g))
+
     # --- battery ------------------------------------------------------
-    # Unclipped gather: off-board coordinates clamp, but those drones are
-    # already in `collided` so the clamped read never matters.
-    is_charging = (state.ground[new_y, new_x] == Object.STATION) & ~collided
+    is_charging = (target_cell == Object.STATION) & ~collided
     is_discharging = ~is_charging & ~collided
     charge = (state.charge + is_charging * params.charge).clip(0, 100)
     charge = (charge - is_discharging * params.discharge).clip(0, 100)
@@ -126,9 +134,7 @@ def step(
 
     # --- pickup -------------------------------------------------------
     picked_up = (
-        (state.ground[new_y, new_x] == Object.PACKET)
-        & survivors
-        & ~state.carrying_package
+        (target_cell == Object.PACKET) & survivors & ~state.carrying_package
     )
     lifted = jnp.zeros_like(state.ground, dtype=jnp.bool_).at[new_y, new_x].set(picked_up)
     ground = state.ground * ~lifted
@@ -136,7 +142,7 @@ def step(
     carrying |= picked_up
 
     # --- delivery -----------------------------------------------------
-    at_dropzone = (state.ground[new_y, new_x] == Object.DROPZONE) & survivors
+    at_dropzone = (target_cell == Object.DROPZONE) & survivors
     delivered = at_dropzone & state.carrying_package
     carrying &= ~delivered
 
@@ -180,7 +186,8 @@ def step(
     # Respawned drones auto-pick packets under them (no reward). Parity
     # quirk: the mask is indexed/written transposed ([x, y]).
     packet_here = ground == Object.PACKET
-    respawn_pickup = packet_here[new_x, new_y] & dones
+    respawn_pickup = point_lookup(
+        packet_here, wrap_clamp(new_x, g), wrap_clamp(new_y, g)) & dones
     carrying |= respawn_pickup
     lifted = jnp.zeros_like(state.ground, dtype=jnp.bool_).at[new_x, new_y].set(respawn_pickup)
     ground = ground * ~lifted
@@ -195,7 +202,7 @@ def step(
     return next_state, rewards, dones
 
 
-def observe(state: EnvState, params: EnvParams) -> jax.Array:
+def observe(state: EnvState, params: EnvParams, limit: Optional[int] = None) -> jax.Array:
     """Per-drone observations.
 
     ``wrapper='window'``: (N, 2r+1, 2r+1, 6) float32 egocentric crops, the
@@ -205,15 +212,22 @@ def observe(state: EnvState, params: EnvParams) -> jax.Array:
 
     Channels: 0 drone, 1 packet (center cell also reflects carried cargo),
     2 dropzone, 3 station, 4 charge fraction, 5 skyscraper/wall.
+
+    ``limit``: compute windows only for the first ``limit`` drones (all
+    drones still appear inside those windows). The training loop sets this
+    to the number of learner slots so no crop work is wasted on opponents.
     """
     if params.wrapper == "window":
-        return _observe_window(state, params)
+        return _observe_window(state, params, limit)
     if params.wrapper == "global":
-        return _observe_global(state, params)
+        obs = _observe_global(state, params)
+        return obs if limit is None else obs[:limit]
     raise NotImplementedError(f"wrapper={params.wrapper!r} is not implemented")
 
 
-def _observe_window(state: EnvState, params: EnvParams) -> jax.Array:
+def _observe_window(
+    state: EnvState, params: EnvParams, limit: Optional[int] = None
+) -> jax.Array:
     r = params.window_radius
     padded = jnp.pad(
         state.ground, r, mode="constant", constant_values=Object.SKYSCRAPER
@@ -221,9 +235,17 @@ def _observe_window(state: EnvState, params: EnvParams) -> jax.Array:
     cx = state.air_x + r
     cy = state.air_y + r
 
-    charge_grid = jnp.zeros_like(padded, dtype=jnp.int8)
     # +1 so that a present drone with zero charge is still distinguishable.
-    charge_grid = charge_grid.at[cy, cx].set(state.charge.astype(jnp.int8) + 1)
+    # Drones occupy distinct cells in any reachable state, so the einsum
+    # placement is scatter-exact (behavior for hand-built states with
+    # overlapping drones is undefined, as it is for scatter).
+    charge_grid = place_values(
+        jnp.zeros_like(padded, dtype=jnp.int8), cy, cx,
+        state.charge.astype(jnp.int8) + 1)
+
+    carrying = state.carrying_package
+    if limit is not None:
+        cx, cy, carrying = cx[:limit], cy[:limit], carrying[:limit]
 
     win_ground = crop_windows(padded, cx, cy, r)
     win_charge = crop_windows(charge_grid, cx, cy, r)
@@ -242,7 +264,7 @@ def _observe_window(state: EnvState, params: EnvParams) -> jax.Array:
     )
     obs = jax.nn.one_hot(codes, NUM_OBS_CHANNELS, dtype=jnp.bool_)
     obs = obs.at[:, :, :, 0].set(win_charge > 0)
-    obs = obs.at[:, r, r, 1].set(obs[:, r, r, 1] | state.carrying_package)
+    obs = obs.at[:, r, r, 1].set(obs[:, r, r, 1] | carrying)
     obs = obs.astype(jnp.float32)
     obs = obs.at[:, :, :, 4].set((win_charge - 1).clip(0, 100) / 100.0)
     return obs
@@ -304,5 +326,7 @@ def step_batch(
     return jax.vmap(step, in_axes=(0, 0, 0, None))(keys, states, actions, params)
 
 
-def observe_batch(states: EnvState, params: EnvParams) -> jax.Array:
-    return jax.vmap(observe, in_axes=(0, None))(states, params)
+def observe_batch(
+    states: EnvState, params: EnvParams, limit: Optional[int] = None
+) -> jax.Array:
+    return jax.vmap(observe, in_axes=(0, None, None))(states, params, limit)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from dronerl_tpu.env.types import EnvParams
+from dronerl_tpu.ops.pointops import cell_mask, place_values, wrap_clamp
 
 
 def place_on_ground(
@@ -45,7 +46,9 @@ def place_on_ground(
     _, cells = jax.lax.top_k(scores, k=fill_values.shape[0])
     rows = cells // params.grid_size
     cols = cells % params.grid_size
-    return ground.at[rows, cols].set(fill_values)
+    # top_k cells are distinct, so the einsum placement is scatter-exact
+    # (and avoids TPU scatter units entirely).
+    return place_values(ground, rows, cols, fill_values)
 
 
 def place_in_air(
@@ -61,9 +64,11 @@ def place_in_air(
     transposed ``[x, y]`` occupancy write (see module docstring) and (b) the
     ``exclude`` mask (skyscrapers). Live drones keep their coordinates.
     """
-    open_cells = jnp.ones((params.grid_size, params.grid_size), dtype=jnp.bool_)
-    # Quirk kept for parity: occupancy is marked transposed, and -1 wraps.
-    open_cells = open_cells.at[air_x, air_y].set(False)
+    g = params.grid_size
+    # Quirk kept for parity: occupancy is marked transposed, and -1 wraps
+    # (scatter negative-index normalization → last row/column).
+    occupied = cell_mask(wrap_clamp(air_x, g), wrap_clamp(air_y, g), g, g)
+    open_cells = ~occupied
     if exclude is not None:
         open_cells &= ~exclude
     scores = jnp.log(open_cells.ravel()) + jax.random.uniform(

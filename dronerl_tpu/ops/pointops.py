@@ -1,0 +1,78 @@
+"""Point gathers/scatters as one-hot compare + einsum (TPU-friendly).
+
+XLA point gathers and scatters over per-drone coordinates lower to
+serialized memory ops on TPU; for the small boards and drone counts here
+the same results are computed exactly with vectorized iota comparisons and
+tiny matmuls (VPU/MXU work, no gather/scatter units touched).
+
+Every op here is bit-exact versus its gather/scatter counterpart:
+selection weights are exact 0/1 floats and the summed contributions are
+provably free of colliding writes (asserted in the docstrings of each op).
+
+jnp indexing semantics being emulated: negative indices wrap (``idx + n``)
+and the result is then clamped into range — see :func:`wrap_clamp`.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def wrap_clamp(idx: jax.Array, size: int) -> jax.Array:
+    """jnp gather index normalization: negatives wrap, then clamp."""
+    idx = jnp.where(idx < 0, idx + size, idx)
+    return jnp.clip(idx, 0, size - 1)
+
+
+def point_lookup(grid: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """``grid[rows, cols]`` for (N,) in-range index vectors, via einsum.
+
+    Duplicate reads are inherently safe. Values must be exactly
+    representable in float32 (int8 codes / bools / small counts are).
+    """
+    h, w = grid.shape
+    row_sel = (rows[:, None] == jnp.arange(h, dtype=rows.dtype)).astype(
+        jnp.float32)
+    col_sel = (cols[:, None] == jnp.arange(w, dtype=cols.dtype)).astype(
+        jnp.float32)
+    vals = jnp.einsum(
+        "nh,hw,nw->n", row_sel, grid.astype(jnp.float32), col_sel,
+        preferred_element_type=jnp.float32)
+    return vals.astype(grid.dtype)
+
+
+def cell_mask(rows: jax.Array, cols: jax.Array, h: int, w: int) -> jax.Array:
+    """(h, w) bool mask marking the cells named by in-range (rows, cols).
+
+    Equivalent to ``zeros.at[rows, cols].set(True)`` — all writers write
+    True, so duplicate targets are harmless.
+    """
+    row_sel = rows[:, None] == jnp.arange(h, dtype=rows.dtype)  # (N, h)
+    col_sel = cols[:, None] == jnp.arange(w, dtype=cols.dtype)  # (N, w)
+    return jnp.einsum(
+        "nh,nw->hw", row_sel.astype(jnp.float32),
+        col_sel.astype(jnp.float32),
+        preferred_element_type=jnp.float32) > 0
+
+
+def place_values(
+    grid: jax.Array, rows: jax.Array, cols: jax.Array, values: jax.Array
+) -> jax.Array:
+    """``grid.at[rows, cols].set(values)`` for DISTINCT in-range cells.
+
+    Exact only when (rows, cols) pairs are pairwise distinct — which holds
+    for top-k spawn targets. Overwrite semantics: selected cells take the
+    new value even if previously non-zero.
+    """
+    h, w = grid.shape
+    row_sel = (rows[:, None] == jnp.arange(h, dtype=rows.dtype)).astype(
+        jnp.float32)
+    col_sel = (cols[:, None] == jnp.arange(w, dtype=cols.dtype)).astype(
+        jnp.float32)
+    placed = jnp.einsum(
+        "nh,nw,n->hw", row_sel, col_sel, values.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+    selected = jnp.einsum(
+        "nh,nw->hw", row_sel, col_sel,
+        preferred_element_type=jnp.float32) > 0
+    out = grid.astype(jnp.float32) * ~selected + placed
+    return out.astype(grid.dtype)

@@ -148,8 +148,8 @@ class DistributedTrainer:
             shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             env_states = env_core.reset_batch(
                 shard_rng, env_params, envs_per_shard)
-            obs = env_core.observe_batch(env_states, env_params)
-            obs = obs[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+            obs = env_core.observe_batch(env_states, env_params, k)
+            obs = obs.reshape(envs_per_shard, k, agent.obs_dim)
             ag_state = agent.init_state(rng)  # replicated: same key everywhere
             template = {
                 "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
@@ -189,8 +189,8 @@ class DistributedTrainer:
             step_keys = jax.random.split(step_key, envs_per_shard)
             env_states, rewards, dones = env_core.step_batch(
                 step_keys, env_states, actions, env_params)
-            next_obs = env_core.observe_batch(env_states, env_params)
-            next_obs = next_obs[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+            next_obs = env_core.observe_batch(env_states, env_params, k)
+            next_obs = next_obs.reshape(envs_per_shard, k, agent.obs_dim)
 
             exps = {
                 "obs": obs.reshape(envs_per_shard * k, agent.obs_dim),
@@ -225,8 +225,8 @@ class DistributedTrainer:
 
             def fresh(rkey):
                 states = env_core.reset_batch(rkey, env_params, envs_per_shard)
-                o = env_core.observe_batch(states, env_params)
-                o = o[:, :k].reshape(envs_per_shard, k, agent.obs_dim)
+                o = env_core.observe_batch(states, env_params, k)
+                o = o.reshape(envs_per_shard, k, agent.obs_dim)
                 return ensure_varying((states, o), axis)
 
             env_states, next_obs = jax.lax.cond(

@@ -87,7 +87,7 @@ def render_policy_video(
     state = jax.jit(env_core.reset, static_argnames=("params",))(
         rng, env_params)
     step_fn = jax.jit(env_core.step, static_argnames=("params",))
-    obs_fn = jax.jit(env_core.observe, static_argnames=("params",))
+    obs_fn = jax.jit(env_core.observe, static_argnames=("params", "limit"))
 
     if renderer is None:
         renderer = Renderer(env_params.n_drones, env_params.grid_size,
@@ -100,7 +100,7 @@ def render_policy_video(
         rng, act_key, step_key = jax.random.split(rng, 3)
         actions = jax.random.randint(
             act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
-        obs = obs_fn(state, params=env_params)[:1].reshape(1, agent.obs_dim)
+        obs = obs_fn(state, params=env_params, limit=1).reshape(1, agent.obs_dim)
         greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
         actions = actions.at[0].set(greedy)
         state, rewards, _ = step_fn(step_key, state, actions, params=env_params)

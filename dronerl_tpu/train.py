@@ -105,10 +105,10 @@ def build_train_step(
     """Construct the fused scan body. Pure function of its carry."""
     obs_dim = agent.obs_dim
 
-    def flatten_obs(full_obs: jax.Array) -> jax.Array:
-        # (E, N, w, w, c) → (E, collect_drones, obs_dim)
-        return full_obs[:, :collect_drones].reshape(
-            num_envs, collect_drones, obs_dim)
+    def learner_obs(states) -> jax.Array:
+        # windows only for the k learner slots: (E, k, obs_dim)
+        full = env_core.observe_batch(states, env_params, collect_drones)
+        return full.reshape(num_envs, collect_drones, obs_dim)
 
     def tick(carry, _):
         rng, env_states, obs, ag_state, bstate, step = carry
@@ -128,7 +128,7 @@ def build_train_step(
         step_keys = jax.random.split(step_key, num_envs)
         env_states, rewards, dones = env_core.step_batch(
             step_keys, env_states, actions, env_params)
-        next_obs = flatten_obs(env_core.observe_batch(env_states, env_params))
+        next_obs = learner_obs(env_states)
 
         # Replay: drone-0 (or first-k-drones) experience from every env.
         k = collect_drones
@@ -175,8 +175,7 @@ def build_train_step(
         # Periodic full reset keeps the task distribution stationary.
         def fresh_envs(reset_rng):
             states = env_core.reset_batch(reset_rng, env_params, num_envs)
-            return states, flatten_obs(
-                env_core.observe_batch(states, env_params))
+            return states, learner_obs(states)
 
         rng, reset_key = jax.random.split(rng)
         env_states, next_obs = jax.lax.cond(
@@ -217,7 +216,7 @@ def evaluate(
             rng, act_key, step_key = jax.random.split(rng, 3)
             actions = jax.random.randint(
                 act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
-            obs = env_core.observe(st, env_params)[:1].reshape(1, obs_dim)
+            obs = env_core.observe(st, env_params, 1).reshape(1, obs_dim)
             greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
             actions = actions.at[0].set(greedy)
             st, rewards, _ = env_core.step(step_key, st, actions, env_params)
@@ -298,9 +297,9 @@ def train(args) -> dict:
             capacity=args.memory_size, batch_size=args.batch_size)
         env_states = env_core.reset_batch(rng, env_params, args.num_envs)
         ag_state = agent.init_state(rng)
-        obs = env_core.observe_batch(env_states, env_params)
-        obs = obs[:, : args.collect_drones].reshape(
-            args.num_envs, args.collect_drones, agent.obs_dim)
+        obs = env_core.observe_batch(
+            env_states, env_params, args.collect_drones)
+        obs = obs.reshape(args.num_envs, args.collect_drones, agent.obs_dim)
 
         template = {
             "obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
