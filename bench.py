@@ -39,7 +39,9 @@ def main():
         network_type="dense", hidden_layers=(16, 16),
         epsilon_decay_every=5, target_update_interval=10, gamma=0.9)
     agent = DQN(config, env_params)
-    buffer = replay.ReplayBuffer(capacity=100_000, batch_size=8)
+    # capacity rounded to the push size → contiguous replay writes
+    capacity = -(-100_000 // NUM_ENVS) * NUM_ENVS
+    buffer = replay.ReplayBuffer(capacity=capacity, batch_size=8)
 
     rng = jax.random.PRNGKey(0)
     env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)

@@ -84,8 +84,12 @@ class DistributedTrainer:
         self.envs_per_shard = num_envs // self.num_devices
         self.collect_drones = collect_drones
         self.reset_env_every = reset_env_every
+        # Round the shard capacity up to the per-step push size so writes
+        # hit the contiguous fast path (see replay.push_many).
+        push = self.envs_per_shard * collect_drones
+        capacity = -(-buffer_capacity_per_shard // push) * push
         self.buffer = replay.ReplayBuffer(
-            capacity=buffer_capacity_per_shard,
+            capacity=capacity,
             batch_size=batch_size_per_shard)
 
         # Carry partition specs: (rng, env_states, obs, ag_state, bstate, step)

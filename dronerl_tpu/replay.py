@@ -55,14 +55,34 @@ def push(state: ReplayState, experience: Any, capacity: int) -> ReplayState:
 
 
 def push_many(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
-    """Write a leading-axis batch of experiences, wrapping around the ring."""
+    """Write a leading-axis batch of experiences, wrapping around the ring.
+
+    Non-wrapping writes (the overwhelmingly common case — trainers round
+    capacity up to a multiple of the per-step push size, making every
+    write contiguous) use ``dynamic_update_slice``, which is dramatically
+    cheaper than a scatter on TPU; a runtime ``lax.cond`` falls back to
+    the general wrapping scatter otherwise, so arbitrary push patterns
+    stay correct.
+    """
     n = jax.tree.leaves(batch)[0].shape[0]
-    slots = (state.cursor + jnp.arange(n)) % capacity
-    storage = jax.tree.map(
-        lambda buf, items: buf.at[slots].set(items),
-        state.storage,
-        batch,
-    )
+
+    def contiguous(operand):
+        storage, items = operand
+        return jax.tree.map(
+            lambda buf, item: jax.lax.dynamic_update_slice(
+                buf, item.astype(buf.dtype),
+                (state.cursor,) + (0,) * (buf.ndim - 1)),
+            storage, items)
+
+    def wrapping(operand):
+        storage, items = operand
+        slots = (state.cursor + jnp.arange(n)) % capacity
+        return jax.tree.map(
+            lambda buf, item: buf.at[slots].set(item), storage, items)
+
+    storage = jax.lax.cond(
+        state.cursor + n <= capacity, contiguous, wrapping,
+        (state.storage, batch))
     return ReplayState(
         storage=storage,
         cursor=(state.cursor + n) % capacity,

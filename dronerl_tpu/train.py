@@ -240,6 +240,14 @@ def evaluate(
 
 
 def train(args) -> dict:
+    if args.coordinator_address or (args.num_processes or 0) > 1:
+        from dronerl_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     setup_compilation_cache(args.jax_cache_dir)
     env_params = env_params_from_args(args)
     agent_config = agent_config_from_args(args)
@@ -293,8 +301,12 @@ def train(args) -> dict:
             carry, rewards = chunk_fn(carry)
             return carry, (rewards, carry[-3].epsilon)
     else:
+        # Round capacity up to the per-step push size so replay writes hit
+        # the contiguous fast path (see replay.push_many).
+        push_size = args.num_envs * args.collect_drones
+        capacity = math.ceil(args.memory_size / push_size) * push_size
         buffer = replay.ReplayBuffer(
-            capacity=args.memory_size, batch_size=args.batch_size)
+            capacity=capacity, batch_size=args.batch_size)
         env_states = env_core.reset_batch(rng, env_params, args.num_envs)
         ag_state = agent.init_state(rng)
         obs = env_core.observe_batch(
@@ -469,7 +481,13 @@ def parse_args(argv=None):
                    help="Persist full training state (params/opt/ε/buffer/envs)")
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--use_sharding", action="store_true",
-                   help="Shard envs across all local devices")
+                   help="Shard envs across all devices (mesh + shard_map)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count for multi-host runs")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index for multi-host runs")
     p.add_argument("--run_dir", type=str, default=None)
     p.add_argument("--jax_cache_dir", type=str, default="./jax_cache")
     p.add_argument("--profile", action="store_true")
