@@ -37,10 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from dronerl_tpu.constants import Action, Object, NUM_OBS_CHANNELS
-from dronerl_tpu.env.spawn import place_on_ground, place_in_air
+from dronerl_tpu.env.spawn import (
+    place_on_ground, place_in_air, respawn_ground_pair)
 from dronerl_tpu.env.types import EnvParams, EnvState
 from dronerl_tpu.ops.collision import same_cell_conflicts
-from dronerl_tpu.ops.pointops import place_values, point_lookup, wrap_clamp
+from dronerl_tpu.ops.pointops import (
+    flag_mask, flag_mask_scatter_order, place_values, point_lookup,
+    wrap_clamp)
 from dronerl_tpu.ops.window import crop_windows
 
 
@@ -70,7 +73,7 @@ def reset(key: jax.Array, params: EnvParams) -> EnvState:
     )
 
     carrying = point_lookup(grid, air_y, air_x) == Object.PACKET
-    lifted = jnp.zeros_like(grid, dtype=jnp.bool_).at[air_y, air_x].set(carrying)
+    lifted = flag_mask(air_y, air_x, carrying, *grid.shape)
     grid = grid * ~lifted
 
     return EnvState(
@@ -108,18 +111,21 @@ def step(
     off_board = (new_y < 0) | (new_y >= g) | (new_x < 0) | (new_x >= g)
     in_y = jnp.clip(new_y, 0, g - 1)
     in_x = jnp.clip(new_x, 0, g - 1)
-    hit_skyscraper = (
-        point_lookup(state.ground, in_y, in_x) == Object.SKYSCRAPER
-    ) & ~off_board
     hit_drone = same_cell_conflicts(new_x, new_y, g)
-    collided = off_board | hit_skyscraper | hit_drone
 
-    # The cell each drone lands on, with jnp's wrap-then-clamp gather
-    # semantics for one-step-off-board coordinates (the reference reads
-    # `ground[new_y, new_x]` unclipped; those drones are all `collided`,
-    # so the normalized read never changes behavior).
-    target_cell = point_lookup(
-        state.ground, wrap_clamp(new_y, g), wrap_clamp(new_x, g))
+    # Two reads of the same grid batched into one lookup: the clipped
+    # coordinates (skyscraper test) and the wrap-then-clamp coordinates
+    # (landing cell; the reference reads `ground[new_y, new_x]` unclipped —
+    # those drones are all `collided`, so normalizing the read never
+    # changes behavior).
+    n = new_y.shape[0]
+    both = point_lookup(
+        state.ground,
+        jnp.concatenate([in_y, wrap_clamp(new_y, g)]),
+        jnp.concatenate([in_x, wrap_clamp(new_x, g)]))
+    hit_skyscraper = (both[:n] == Object.SKYSCRAPER) & ~off_board
+    collided = off_board | hit_skyscraper | hit_drone
+    target_cell = both[n:]
 
     # --- battery ------------------------------------------------------
     is_charging = (target_cell == Object.STATION) & ~collided
@@ -136,7 +142,10 @@ def step(
     picked_up = (
         (target_cell == Object.PACKET) & survivors & ~state.carrying_package
     )
-    lifted = jnp.zeros_like(state.ground, dtype=jnp.bool_).at[new_y, new_x].set(picked_up)
+    # Scatter-order emulation: an off-board drone's wrapped coordinate can
+    # alias a survivor's cell, and the reference's boolean scatter lets the
+    # later (False) writer win — plain OR would diverge there.
+    lifted = flag_mask_scatter_order(new_y, new_x, picked_up, g, g)
     ground = state.ground * ~lifted
     carrying = state.carrying_package & survivors  # dead drones drop cargo
     carrying |= picked_up
@@ -146,25 +155,23 @@ def step(
     delivered = at_dropzone & state.carrying_package
     carrying &= ~delivered
 
-    # --- respawn packets (one fixed-k spawn; 0-fill slots are no-ops) --
+    # --- respawn packets + dropzones (one fused fixed-k spawn pair;
+    # 0-fill slots are no-ops). Parity quirks preserved: the dropzone
+    # spawn's slot count uses packets_factor and the packet respawn key is
+    # reused (reference: jax_impl/env/env.py:197-212).
     key, respawn_key = jax.random.split(key)
     needs_packet = delivered | (dones & state.carrying_package)
     packet_fill = jnp.zeros((params.num_packets,), dtype=jnp.int8)
     packet_fill = packet_fill.at[: params.n_drones].set(
         needs_packet * Object.PACKET.value
     )
-    ground = place_on_ground(respawn_key, ground, packet_fill, params)
-
-    # --- respawn dropzones --------------------------------------------
-    # Parity quirks: slot count uses packets_factor and the packet
-    # respawn key is reused (reference: jax_impl/env/env.py:206,212).
     dropzone_fill = jnp.zeros((params.num_packets,), dtype=jnp.int8)
     dropzone_fill = dropzone_fill.at[: params.n_drones].set(
         delivered * Object.DROPZONE.value
     )
-    consumed = jnp.zeros_like(state.ground, dtype=jnp.bool_).at[new_y, new_x].set(delivered)
-    ground = ground * ~consumed
-    ground = place_on_ground(respawn_key, ground, dropzone_fill, params)
+    consumed = flag_mask_scatter_order(new_y, new_x, delivered, g, g)
+    ground = respawn_ground_pair(
+        respawn_key, ground, packet_fill, dropzone_fill, consumed, params)
 
     # --- rewards ------------------------------------------------------
     rewards = (
@@ -189,7 +196,7 @@ def step(
     respawn_pickup = point_lookup(
         packet_here, wrap_clamp(new_x, g), wrap_clamp(new_y, g)) & dones
     carrying |= respawn_pickup
-    lifted = jnp.zeros_like(state.ground, dtype=jnp.bool_).at[new_x, new_y].set(respawn_pickup)
+    lifted = flag_mask(new_x, new_y, respawn_pickup, g, g)
     ground = ground * ~lifted
 
     next_state = state.replace(

@@ -51,6 +51,9 @@ def ensure_varying(tree: Any, axis: str) -> Any:
 
     def fix(x):
         if axis not in jax.typeof(x).vma:
+            pcast = getattr(jax.lax, "pcast", None)
+            if pcast is not None:
+                return pcast(x, (axis,), to="varying")
             return jax.lax.pvary(x, (axis,))
         return x
 

@@ -31,10 +31,12 @@ def bench(name, make_carry, tick):
     carry = make_carry()
     out = run(carry)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(carry)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run(carry)
+        jax.block_until_ready(out)
+        dt = min(dt, time.perf_counter() - t0)
     print(f"{name:30s} {1e6 * dt / STEPS:9.1f} us/step "
           f"{NUM_ENVS * STEPS / dt:12,.0f} obs/s")
 
