@@ -7,9 +7,12 @@ Workload matches the reference README benchmark row "(16,16) dense DQN"
 definition (reference: train_jax.py:234-236).
 
 Baseline: 3,843 obs/s on TPU v3-8 (reference README.md:78, measured at
-num_envs=1). This benchmark runs the same fused loop at num_envs=1024 on
-one chip; the whole point of the TPU-native rebuild is that throughput
-scales with the env batch.
+num_envs=1). This benchmark runs the same loop at num_envs=16384 on one
+chip through the fused-Pallas engine (the entire environment tick — PRNG,
+physics, respawns, window observations — is one kernel dispatch; see
+dronerl_tpu/ops/fused_tick.py). Scaling throughput with the env batch is
+the point of the TPU-native rebuild; the reference README makes the same
+argument with its --num_envs plot.
 
 Prints exactly one JSON line.
 """
@@ -24,10 +27,11 @@ from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env import core as env_core
 from dronerl_tpu.env.types import EnvParams
-from dronerl_tpu.train import build_train_step, setup_compilation_cache
+from dronerl_tpu.ops import fused_tick
+from dronerl_tpu.train import build_train_step_fused, setup_compilation_cache
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
-NUM_ENVS = 1024
+NUM_ENVS = 16384
 TIMED_STEPS = 2000
 TIMED_REPEATS = 4
 
@@ -41,13 +45,14 @@ def main():
     agent = DQN(config, env_params)
     # capacity rounded to the push size → contiguous replay writes
     capacity = -(-100_000 // NUM_ENVS) * NUM_ENVS
-    buffer = replay.ReplayBuffer(capacity=capacity, batch_size=8)
+    buffer = replay.FeatureMajorReplay(capacity=capacity, batch_size=8)
 
     rng = jax.random.PRNGKey(0)
     env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)
     ag_state = agent.init_state(rng)
-    obs = env_core.observe_batch(env_states, env_params, 1)
-    obs = obs.reshape(NUM_ENVS, 1, agent.obs_dim)
+    tstate = fused_tick.to_tstate(env_states)
+    obs_t = env_core.observe_batch(env_states, env_params, 1).reshape(
+        NUM_ENVS, agent.obs_dim).T
     template = {
         "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "actions": jnp.array(0, jnp.int32),
@@ -56,13 +61,13 @@ def main():
         "dones": jnp.array(False, jnp.bool_),
     }
     bstate = buffer.init(template)
-    tick = build_train_step(agent, buffer, env_params, NUM_ENVS, 1, 100)
+    tick = build_train_step_fused(agent, buffer, env_params, NUM_ENVS, 1, 100)
 
     @jax.jit
     def run(carry, dummy):
         return jax.lax.scan(tick, carry, dummy)
 
-    carry = (rng, env_states, obs, ag_state, bstate, jnp.array(0))
+    carry = (rng, tstate, obs_t, ag_state, bstate, jnp.array(0))
     # Warm up with the same scan length so compilation and buffer fill are
     # excluded from the timed region.
     dummy = jnp.zeros((TIMED_STEPS,))
@@ -81,7 +86,7 @@ def main():
 
     obs_per_sec = NUM_ENVS * TIMED_STEPS * TIMED_REPEATS / elapsed
     print(json.dumps({
-        "metric": "train_obs_per_sec_dense16_1024envs",
+        "metric": "train_obs_per_sec_dense16_16384envs",
         "value": round(obs_per_sec, 1),
         "unit": "obs/s",
         "vs_baseline": round(obs_per_sec / BASELINE_OBS_PER_SEC, 2),

@@ -200,6 +200,78 @@ class DQN:
             action_key, (batch,), minval=0, maxval=NUM_ACTIONS)
         return jnp.where(explore, random_acts, greedy_actions)
 
+    # --- feature-major (transposed) paths ---------------------------------
+    #
+    # The fused TPU training loop keeps every tensor feature-major
+    # (features on sublanes, envs/batch on lanes — see ops/fused_tick.py).
+    # These paths consume (obs_dim, B) observations directly with the SAME
+    # parameter pytree (flax Dense kernels are (in, out); the forward is
+    # kernelᵀ @ x), so checkpoints stay interchangeable with the row-major
+    # path. Dense networks only.
+
+    def q_values_t(self, params: Any, obs_t: jax.Array) -> jax.Array:
+        """Forward pass on (obs_dim, B) observations → (num_actions, B)."""
+        if self.config.network_type != "dense":
+            raise NotImplementedError(
+                "feature-major forward supports dense networks only")
+        layers = params["params"]
+        x = obs_t
+        n_layers = len(layers)
+        for idx in range(n_layers):
+            layer = layers[f"Dense_{idx}"]
+            x = jnp.einsum(
+                "io,ib->ob", layer["kernel"], x,
+                preferred_element_type=jnp.float32)
+            x = x + layer["bias"][:, None]
+            if idx < n_layers - 1:
+                x = nn.relu(x)
+        return x
+
+    def act_t(
+        self,
+        key: jax.Array,
+        obs_t: jax.Array,
+        state: DQNState,
+        greedy: bool = False,
+    ) -> jax.Array:
+        """ε-greedy actions for (obs_dim, B) observations → (B,) int32."""
+        batch = obs_t.shape[1]
+        greedy_actions = jnp.argmax(
+            self.q_values_t(state.params, obs_t), axis=0)
+        if greedy:
+            return greedy_actions
+        explore_key, action_key = jax.random.split(key)
+        explore = jax.random.uniform(explore_key, (batch,)) < state.epsilon
+        random_acts = jax.random.randint(
+            action_key, (batch,), minval=0, maxval=NUM_ACTIONS)
+        return jnp.where(explore, random_acts, greedy_actions)
+
+    def train_step_t(
+        self, state: DQNState, batch: Dict[str, jax.Array]
+    ) -> Tuple[DQNState, jax.Array]:
+        """TD(0) update on a feature-major replay batch.
+
+        ``batch``: obs/next_obs (obs_dim, B); actions/rewards/dones (B,).
+        Same math as :meth:`train_step` on transposed operands.
+        """
+
+        def loss_fn(params):
+            q = self.q_values_t(params, batch["obs"])
+            taken = jnp.take_along_axis(
+                q, batch["actions"][None, :], axis=0)[0]
+            next_q = self.q_values_t(state.target_params, batch["next_obs"])
+            bootstrap = jnp.max(next_q, axis=0)
+            target = batch["rewards"] + self.config.gamma * bootstrap * (
+                1 - batch["dones"]
+            )
+            return jnp.mean(jnp.square(taken - jax.lax.stop_gradient(target)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(params=params, opt_state=opt_state), loss
+
     # --- learning --------------------------------------------------------
 
     def train_step(

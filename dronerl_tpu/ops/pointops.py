@@ -98,9 +98,12 @@ def cell_mask(rows: jax.Array, cols: jax.Array, h: int, w: int) -> jax.Array:
 
 
 # Added to every placed value so a zero fill still marks its cell as
-# selected (placed_aug > 0 ⇔ cell written). Must exceed |min value| and
-# keep values + offset exactly representable in float32.
-_PLACE_OFFSET = 1024.0
+# selected (placed_aug > 0 ⇔ cell written). Must exceed |min value| AND
+# keep values + offset exactly representable in bfloat16: TPU matmuls at
+# default precision round f32 inputs to bf16, which is exact only for
+# integers of magnitude ≤ 256. With offset 128 any value in (-128, 128]
+# stays exact end-to-end (int8 inputs always qualify).
+_PLACE_OFFSET = 128.0
 
 
 def place_values(

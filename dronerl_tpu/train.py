@@ -191,6 +191,108 @@ def build_train_step(
     return tick
 
 
+def build_train_step_fused(
+    agent: DQN,
+    buffer: replay.FeatureMajorReplay,
+    env_params: EnvParams,
+    num_envs: int,
+    collect_drones: int,
+    reset_env_every: int,
+    interpret: bool = False,
+):
+    """Feature-major scan body around the fused Pallas step+observe kernel.
+
+    The env state, observations and replay storage all live transposed
+    (features on sublanes, envs/slots on lanes); the whole environment
+    tick — per-env PRNG, physics, respawns, window observations — is ONE
+    kernel dispatch (ops/fused_tick.py). Semantics match
+    :func:`build_train_step`; only trainer-level PRNG consumption shapes
+    differ (documented there as non-contractual).
+    """
+    from dronerl_tpu.ops import fused_tick
+
+    obs_dim = agent.obs_dim
+    k = collect_drones
+
+    def tick(carry, _):
+        rng, tstate, obs_t, ag_state, bstate, step = carry
+        rng, rand_key, act_key, step_key, sample_key, reset_key = (
+            jax.random.split(rng, 6))
+
+        actions_t = jax.random.randint(
+            rand_key, (env_params.n_drones, num_envs), 0, NUM_ACTIONS)
+        dqn_actions = agent.act_t(act_key, obs_t[:obs_dim], ag_state)
+        actions_t = actions_t.at[0].set(dqn_actions)
+
+        tstate, rewards_t, dones_t, next_obs_t = fused_tick.tick_fused(
+            step_key, tstate, actions_t, env_params, k, interpret)
+
+        exps = {
+            "obs": jnp.concatenate(
+                [obs_t[i * obs_dim : (i + 1) * obs_dim] for i in range(k)],
+                axis=1) if k > 1 else obs_t,
+            "actions": actions_t[:k].reshape(-1),
+            "rewards": rewards_t[:k].reshape(-1),
+            "next_obs": jnp.concatenate(
+                [next_obs_t[i * obs_dim : (i + 1) * obs_dim]
+                 for i in range(k)], axis=1) if k > 1 else next_obs_t,
+            "dones": dones_t[:k].reshape(-1),
+        }
+        bstate = buffer.push_many(bstate, exps)
+
+        def do_train(operand):
+            ag, bs, key = operand
+            batch = buffer.sample(key, bs)
+            batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+            return agent.train_step_t(ag, batch)
+
+        ag_state, loss = jax.lax.cond(
+            buffer.can_sample(bstate),
+            do_train,
+            lambda operand: (operand[0], 0.0),
+            (ag_state, bstate, sample_key),
+        )
+
+        ag_state = jax.lax.cond(
+            step % agent.config.target_update_interval == 0,
+            agent.update_target, lambda s: s, ag_state)
+        ag_state = jax.lax.cond(
+            agent.should_decay_epsilon(step, dones_t[0, 0]),
+            agent.decay_epsilon, lambda s: s, ag_state)
+
+        def fresh_envs(reset_rng):
+            states = env_core.reset_batch(reset_rng, env_params, num_envs)
+            obs = env_core.observe_batch(states, env_params, k)
+            return (fused_tick.to_tstate(states),
+                    obs.reshape(num_envs, k * obs_dim).T)
+
+        tstate, next_obs_t = jax.lax.cond(
+            step % reset_env_every == 0,
+            fresh_envs,
+            lambda _: (tstate, next_obs_t),
+            reset_key,
+        )
+
+        carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
+        return carry, (rewards_t[0], ag_state.epsilon)
+
+    return tick
+
+
+def fused_engine_supported(agent: DQN, env_params: EnvParams,
+                           num_envs: int) -> bool:
+    """Fused Pallas engine availability for this config + backend."""
+    from dronerl_tpu.ops import fused_tick
+
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon") or (
+        "TPU" in jax.devices()[0].device_kind.upper())
+    return (
+        on_tpu
+        and agent.config.network_type == "dense"
+        and fused_tick.supports(env_params, num_envs)
+    )
+
+
 def evaluate(
     args,
     agent: DQN,
@@ -305,13 +407,10 @@ def train(args) -> dict:
         # the contiguous fast path (see replay.push_many).
         push_size = args.num_envs * args.collect_drones
         capacity = math.ceil(args.memory_size / push_size) * push_size
-        buffer = replay.ReplayBuffer(
-            capacity=capacity, batch_size=args.batch_size)
         env_states = env_core.reset_batch(rng, env_params, args.num_envs)
         ag_state = agent.init_state(rng)
         obs = env_core.observe_batch(
             env_states, env_params, args.collect_drones)
-        obs = obs.reshape(args.num_envs, args.collect_drones, agent.obs_dim)
 
         template = {
             "obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
@@ -320,16 +419,38 @@ def train(args) -> dict:
             "next_obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
             "dones": jnp.array(False, dtype=jnp.bool_),
         }
-        bstate = buffer.init(template)
-        tick = build_train_step(
-            agent, buffer, env_params, args.num_envs,
-            args.collect_drones, args.reset_env_every)
+        use_fused = args.engine == "fused" or (
+            args.engine == "auto"
+            and fused_engine_supported(agent, env_params, args.num_envs))
+        logger.info("Engine: %s", "fused-pallas" if use_fused else "jnp")
+        if use_fused:
+            from dronerl_tpu.ops import fused_tick
+
+            buffer = replay.FeatureMajorReplay(
+                capacity=capacity, batch_size=args.batch_size)
+            bstate = buffer.init(template)
+            tick = build_train_step_fused(
+                agent, buffer, env_params, args.num_envs,
+                args.collect_drones, args.reset_env_every)
+            state0 = fused_tick.to_tstate(env_states)
+            obs0 = obs.reshape(
+                args.num_envs, args.collect_drones * agent.obs_dim).T
+        else:
+            buffer = replay.ReplayBuffer(
+                capacity=capacity, batch_size=args.batch_size)
+            bstate = buffer.init(template)
+            tick = build_train_step(
+                agent, buffer, env_params, args.num_envs,
+                args.collect_drones, args.reset_env_every)
+            state0 = env_states
+            obs0 = obs.reshape(
+                args.num_envs, args.collect_drones, agent.obs_dim)
 
         @jax.jit
         def run_chunk(carry, length_dummy):
             return jax.lax.scan(tick, carry, length_dummy)
 
-        carry = (rng, env_states, obs, ag_state, bstate, jnp.array(0))
+        carry = (rng, state0, obs0, ag_state, bstate, jnp.array(0))
     if args.resume_from:
         from dronerl_tpu.interop import train_state_io
 
@@ -476,6 +597,11 @@ def parse_args(argv=None):
     p.add_argument("--collect_drones", type=int, default=1,
                    help="Learn from the first k drones of every env")
     p.add_argument("--max_scan_steps", type=int, default=100_000)
+    p.add_argument(
+        "--engine", choices=["auto", "fused", "jnp"], default="auto",
+        help="Training engine: fused Pallas step+observe kernel (TPU, "
+             "dense nets) or the pure-jnp path; auto picks fused when "
+             "supported")
     p.add_argument("--save_final_checkpoint", action="store_true")
     p.add_argument("--save_train_state", action="store_true",
                    help="Persist full training state (params/opt/ε/buffer/envs)")

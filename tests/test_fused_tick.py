@@ -1,0 +1,185 @@
+"""Equivalence of the transposed fused step+observe kernel and trainer.
+
+The kernel runs under the Pallas interpreter on CPU here; the identical
+code compiles for TPU in production (exercised by bench.py and the
+trainer's auto engine).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dronerl_tpu import replay
+from dronerl_tpu.agents.dqn import DQN, DQNConfig
+from dronerl_tpu.env import core as env_core
+from dronerl_tpu.env.types import EnvParams
+from dronerl_tpu.ops import fused_tick
+
+
+def test_tstate_roundtrip():
+    params = EnvParams(grid_size=9, n_drones=4)
+    states = env_core.reset_batch(jax.random.PRNGKey(0), params, 8)
+    back = fused_tick.from_tstate(fused_tick.to_tstate(states), params)
+    for field in ("ground", "air_x", "air_y", "carrying_package", "charge"):
+        assert (np.asarray(getattr(states, field))
+                == np.asarray(getattr(back, field))).all()
+
+
+@pytest.mark.parametrize(
+    "params,collect",
+    [
+        (EnvParams(grid_size=9, n_drones=4), 1),
+        (EnvParams(grid_size=8, n_drones=3), 2),
+        (EnvParams(grid_size=9, n_drones=4, window_radius=2), 1),
+    ],
+    ids=["default", "collect2", "radius2"],
+)
+def test_tick_fused_matches_jnp_pipeline(params, collect):
+    num_envs = 128
+    rng = jax.random.PRNGKey(0)
+    states = env_core.reset_batch(rng, params, num_envs)
+    tstate = fused_tick.to_tstate(states)
+    assert fused_tick.supports(params, num_envs)
+    obs_dim = (
+        params.obs_shape[0] * params.obs_shape[1] * params.obs_shape[2])
+    for t in range(10):
+        rng, act_key, step_key = jax.random.split(rng, 3)
+        actions = jax.random.randint(
+            act_key, (num_envs, params.n_drones), 0, 5)
+        keys = jax.random.split(step_key, num_envs)
+        st_ref, rew_ref, done_ref = env_core.step_batch(
+            keys, states, actions, params)
+        obs_ref = env_core.observe_batch(st_ref, params, collect).reshape(
+            num_envs, collect * obs_dim)
+        tstate, rew_t, done_t, obs_t = fused_tick.tick_fused(
+            step_key, tstate, actions.T, params, collect, interpret=True)
+        back = fused_tick.from_tstate(tstate, params)
+        for field in ("ground", "air_x", "air_y", "carrying_package",
+                      "charge"):
+            assert (np.asarray(getattr(st_ref, field))
+                    == np.asarray(getattr(back, field))).all(), (t, field)
+        assert (np.asarray(rew_ref) == np.asarray(rew_t).T).all(), t
+        assert (np.asarray(done_ref) == np.asarray(done_t).T).all(), t
+        # Exact on every channel except the charge fraction, where XLA's
+        # context-dependent divide-to-reciprocal rewrite allows 1 ULP
+        # (see ops/fused_tick.py module docstring).
+        ours = np.asarray(obs_t).T.reshape(num_envs, collect, -1, 6)
+        ref = np.asarray(obs_ref).reshape(num_envs, collect, -1, 6)
+        ch = np.arange(6) != 4
+        assert (ref[..., ch] == ours[..., ch]).all(), t
+        np.testing.assert_allclose(
+            ref[..., 4], ours[..., 4], atol=1.3e-7, rtol=0,
+            err_msg=f"step {t}")
+        states = st_ref
+
+
+class TestTransposedAgentPaths:
+    def _agent(self):
+        params = EnvParams(grid_size=9, n_drones=4)
+        return DQN(DQNConfig(hidden_layers=(16, 16)), params)
+
+    def test_q_values_t_matches_row_major(self):
+        agent = self._agent()
+        state = agent.init_state(jax.random.PRNGKey(0))
+        obs = jax.random.uniform(jax.random.PRNGKey(1), (32, agent.obs_dim))
+        q_row = agent.q_values(state.params, obs)
+        q_t = agent.q_values_t(state.params, obs.T)
+        np.testing.assert_allclose(
+            np.asarray(q_row), np.asarray(q_t).T, rtol=1e-5, atol=1e-5)
+
+    def test_act_t_greedy_matches_row_major(self):
+        agent = self._agent()
+        state = agent.init_state(jax.random.PRNGKey(0))
+        obs = jax.random.uniform(jax.random.PRNGKey(2), (64, agent.obs_dim))
+        a_row = agent.act(jax.random.PRNGKey(3), obs, state, greedy=True)
+        a_t = agent.act_t(jax.random.PRNGKey(3), obs.T, state, greedy=True)
+        assert (np.asarray(a_row) == np.asarray(a_t)).all()
+
+    def test_train_step_t_matches_row_major(self):
+        agent = self._agent()
+        state = agent.init_state(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(4)
+        batch = {
+            "obs": jax.random.uniform(rng, (8, agent.obs_dim)),
+            "actions": jnp.arange(8, dtype=jnp.int32) % 5,
+            "rewards": jnp.linspace(-1, 1, 8),
+            "next_obs": jax.random.uniform(
+                jax.random.PRNGKey(5), (8, agent.obs_dim)),
+            "dones": jnp.array([0, 1, 0, 0, 1, 0, 0, 0], jnp.float32),
+        }
+        batch_t = dict(batch, obs=batch["obs"].T, next_obs=batch["next_obs"].T)
+        s_row, loss_row = agent.train_step(state, batch)
+        s_t, loss_t = agent.train_step_t(state, batch_t)
+        np.testing.assert_allclose(
+            float(loss_row), float(loss_t), rtol=1e-5)
+        for (pa, pb) in zip(
+            jax.tree.leaves(s_row.params), jax.tree.leaves(s_t.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-6)
+
+
+class TestFeatureMajorReplay:
+    def test_push_sample_roundtrip(self):
+        buf = replay.FeatureMajorReplay(capacity=32, batch_size=4)
+        template = {"obs": jnp.zeros((6,), jnp.float32),
+                    "r": jnp.array(0.0, jnp.float32)}
+        state = buf.init(template)
+        assert state.storage["obs"].shape == (6, 32)
+        assert state.storage["r"].shape == (32,)
+        batch = {"obs": jnp.arange(48, dtype=jnp.float32).reshape(6, 8),
+                 "r": jnp.arange(8, dtype=jnp.float32)}
+        state = buf.push_many(state, batch)
+        assert int(state.size) == 8 and int(state.cursor) == 8
+        assert not bool(buf.can_sample(replay.ReplayState(
+            state.storage, state.cursor, jnp.array(3))))
+        sample = buf.sample(jax.random.PRNGKey(0), state)
+        assert sample["obs"].shape == (6, 4)
+        # every sampled column must be one of the pushed columns
+        pushed = np.asarray(batch["obs"]).T.tolist()
+        for col in np.asarray(sample["obs"]).T.tolist():
+            assert col in pushed
+
+    def test_wrapping_write(self):
+        buf = replay.FeatureMajorReplay(capacity=8, batch_size=2)
+        state = buf.init({"x": jnp.array(0.0, jnp.float32)})
+        state = buf.push_many(state, {"x": jnp.arange(6, dtype=jnp.float32)})
+        state = buf.push_many(
+            state, {"x": jnp.arange(6, dtype=jnp.float32) + 10})
+        assert int(state.cursor) == 4
+        assert int(state.size) == 8
+        got = np.asarray(state.storage["x"])
+        expected = np.array([12.0, 13.0, 14.0, 15.0, 4.0, 5.0, 10.0, 11.0])
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_trainer_tick_smoke_interpret():
+    from dronerl_tpu.train import build_train_step_fused
+
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    num_envs = 128
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    buf = replay.FeatureMajorReplay(capacity=num_envs * 4, batch_size=8)
+    template = {
+        "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    }
+    rng = jax.random.PRNGKey(0)
+    states = env_core.reset_batch(rng, env_params, num_envs)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, env_params, 1).reshape(
+        num_envs, agent.obs_dim).T
+    carry = (rng, tstate, obs_t, agent.init_state(rng), buf.init(template),
+             jnp.array(0))
+    tick = build_train_step_fused(
+        agent, buf, env_params, num_envs, 1, 100, interpret=True)
+    for _ in range(3):
+        carry, (rewards, eps) = tick(carry, None)
+    assert rewards.shape == (num_envs,)
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert float(eps) < 1.0  # ε decayed at least once
