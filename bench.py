@@ -7,7 +7,7 @@ Workload matches the reference README benchmark row "(16,16) dense DQN"
 definition (reference: train_jax.py:234-236).
 
 Baseline: 3,843 obs/s on TPU v3-8 (reference README.md:78, measured at
-num_envs=1). This benchmark runs the same loop at num_envs=16384 on one
+num_envs=1). This benchmark runs the same loop at num_envs=32768 on one
 chip through the fused-Pallas engine (the entire environment tick — PRNG,
 physics, respawns, window observations — is one kernel dispatch; see
 dronerl_tpu/ops/fused_tick.py). Scaling throughput with the env batch is
@@ -31,7 +31,7 @@ from dronerl_tpu.ops import fused_tick
 from dronerl_tpu.train import build_train_step_fused, setup_compilation_cache
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
-NUM_ENVS = 16384
+NUM_ENVS = 32768
 TIMED_STEPS = 2000
 TIMED_REPEATS = 4
 
@@ -44,8 +44,9 @@ def main():
         epsilon_decay_every=5, target_update_interval=10, gamma=0.9)
     agent = DQN(config, env_params)
     # capacity rounded to the push size → contiguous replay writes
-    capacity = -(-100_000 // NUM_ENVS) * NUM_ENVS
-    buffer = replay.FeatureMajorReplay(capacity=capacity, batch_size=8)
+    capacity = max(-(-100_000 // NUM_ENVS) * NUM_ENVS, 2 * NUM_ENVS)
+    buffer = replay.StreamReplay(
+        capacity=capacity, batch_size=8, stride=NUM_ENVS)
 
     rng = jax.random.PRNGKey(0)
     env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)
@@ -57,7 +58,6 @@ def main():
         "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "actions": jnp.array(0, jnp.int32),
         "rewards": jnp.array(0.0, jnp.float32),
-        "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "dones": jnp.array(False, jnp.bool_),
     }
     bstate = buffer.init(template)
@@ -86,7 +86,7 @@ def main():
 
     obs_per_sec = NUM_ENVS * TIMED_STEPS * TIMED_REPEATS / elapsed
     print(json.dumps({
-        "metric": "train_obs_per_sec_dense16_16384envs",
+        "metric": "train_obs_per_sec_dense16_32768envs",
         "value": round(obs_per_sec, 1),
         "unit": "obs/s",
         "vs_baseline": round(obs_per_sec / BASELINE_OBS_PER_SEC, 2),

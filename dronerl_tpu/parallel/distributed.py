@@ -93,7 +93,8 @@ class DistributedTrainer:
         capacity = -(-buffer_capacity_per_shard // push) * push
         self.buffer = replay.ReplayBuffer(
             capacity=capacity,
-            batch_size=batch_size_per_shard)
+            batch_size=batch_size_per_shard,
+            uniform_pushes=True)
 
         # Carry partition specs: (rng, env_states, obs, ag_state, bstate, step)
         env_spec = jax.tree.map(lambda _: P(self.axis), self._env_template())

@@ -54,7 +54,8 @@ def push(state: ReplayState, experience: Any, capacity: int) -> ReplayState:
     )
 
 
-def push_many(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
+def push_many(state: ReplayState, batch: Any, capacity: int,
+              aligned: bool = False) -> ReplayState:
     """Write a leading-axis batch of experiences, wrapping around the ring.
 
     Non-wrapping writes (the overwhelmingly common case — trainers round
@@ -63,6 +64,12 @@ def push_many(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
     cheaper than a scatter on TPU; a runtime ``lax.cond`` falls back to
     the general wrapping scatter otherwise, so arbitrary push patterns
     stay correct.
+
+    ``aligned=True`` is the caller's PROMISE that every push into this
+    buffer has this same size and the capacity divides evenly, so no
+    write ever wraps. It removes the runtime cond — load-bearing for
+    performance, because a cond's branch outputs cannot alias the loop
+    carry and XLA would otherwise copy the entire ring every step.
     """
     n = jax.tree.leaves(batch)[0].shape[0]
 
@@ -80,9 +87,12 @@ def push_many(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
         return jax.tree.map(
             lambda buf, item: buf.at[slots].set(item), storage, items)
 
-    storage = jax.lax.cond(
-        state.cursor + n <= capacity, contiguous, wrapping,
-        (state.storage, batch))
+    if aligned and capacity % n == 0:
+        storage = contiguous((state.storage, batch))
+    else:
+        storage = jax.lax.cond(
+            state.cursor + n <= capacity, contiguous, wrapping,
+            (state.storage, batch))
     return ReplayState(
         storage=storage,
         cursor=(state.cursor + n) % capacity,
@@ -118,12 +128,13 @@ def init_t(template: Any, capacity: int) -> ReplayState:
     )
 
 
-def push_many_t(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
+def push_many_t(state: ReplayState, batch: Any, capacity: int,
+                aligned: bool = False) -> ReplayState:
     """Write a last-axis batch of slots at the cursor (feature-major).
 
     Contiguous writes use ``dynamic_update_slice`` along the lane axis —
     the cheap path on TPU; a runtime cond falls back to a scatter when the
-    write wraps the ring.
+    write wraps the ring. ``aligned``: see :func:`push_many`.
     """
     n = jax.tree.leaves(batch)[0].shape[-1]
 
@@ -142,9 +153,12 @@ def push_many_t(state: ReplayState, batch: Any, capacity: int) -> ReplayState:
             lambda buf, item: buf.at[..., slots].set(item.astype(buf.dtype)),
             storage, items)
 
-    storage = jax.lax.cond(
-        state.cursor + n <= capacity, contiguous, wrapping,
-        (state.storage, batch))
+    if aligned and capacity % n == 0:
+        storage = contiguous((state.storage, batch))
+    else:
+        storage = jax.lax.cond(
+            state.cursor + n <= capacity, contiguous, wrapping,
+            (state.storage, batch))
     return ReplayState(
         storage=storage,
         cursor=(state.cursor + n) % capacity,
@@ -167,15 +181,18 @@ class FeatureMajorReplay:
     TPU-friendly feature-major orientation used by the fused trainer.
     """
 
-    def __init__(self, capacity: int = 10_000, batch_size: int = 64):
+    def __init__(self, capacity: int = 10_000, batch_size: int = 64,
+                 uniform_pushes: bool = False):
         self.capacity = capacity
         self.batch_size = batch_size
+        self.uniform_pushes = uniform_pushes
 
     def init(self, template: Any) -> ReplayState:
         return init_t(template, self.capacity)
 
     def push_many(self, state: ReplayState, batch: Any) -> ReplayState:
-        return push_many_t(state, batch, self.capacity)
+        return push_many_t(
+            state, batch, self.capacity, aligned=self.uniform_pushes)
 
     def sample(self, key: jax.Array, state: ReplayState) -> Any:
         return sample_t(key, state, self.batch_size)
@@ -184,12 +201,71 @@ class FeatureMajorReplay:
         return can_sample(state, self.batch_size)
 
 
+class StreamReplay:
+    """Single-stream feature-major replay: next_obs by ring offset.
+
+    Stores each observation ONCE. With contiguous per-step pushes of
+    ``stride`` slots (one per env×collected-drone), the successor
+    observation of slot p is simply slot ``p + stride`` in ring order —
+    so ``next_obs`` needs no storage and no second 19-MB-per-step write.
+    Sampling is uniform over every stored transition whose successor has
+    been pushed, i.e. everything except the newest ``stride`` slots (the
+    classic two-copy buffer samples the newest step too; at
+    capacity ≫ stride the distributions are indistinguishable).
+
+    Capacity must be a multiple of ``stride`` (keeps every push
+    contiguous and the successor offset exact across the wrap).
+    """
+
+    def __init__(self, capacity: int, batch_size: int, stride: int):
+        if capacity % stride != 0:
+            raise ValueError("capacity must be a multiple of stride")
+        if capacity < 2 * stride:
+            raise ValueError("capacity must hold at least two steps")
+        self.capacity = capacity
+        self.batch_size = batch_size
+        self.stride = stride
+
+    def init(self, template: Any) -> ReplayState:
+        """template: dict with 'obs' (D,) plus scalar leaves (actions,
+        rewards, dones) — no 'next_obs' entry."""
+        return init_t(template, self.capacity)
+
+    def push_many(self, state: ReplayState, batch: Any) -> ReplayState:
+        n = jax.tree.leaves(batch)[0].shape[-1]
+        if n != self.stride:
+            raise ValueError(
+                f"StreamReplay pushes must be stride-sized ({self.stride}); "
+                f"got {n} — the successor-offset arithmetic depends on it")
+        return push_many_t(state, batch, self.capacity, aligned=True)
+
+    def sample(self, key: jax.Array, state: ReplayState) -> Any:
+        """Uniform with-replacement over slots with a stored successor."""
+        valid = state.size - self.stride
+        raw = jax.random.randint(
+            key, (self.batch_size,), minval=0, maxval=valid)
+        # When full, the oldest slot sits at the cursor; otherwise slot 0.
+        base = jnp.where(state.size == self.capacity, state.cursor, 0)
+        phys = (base + raw) % self.capacity
+        nxt = (phys + self.stride) % self.capacity
+        batch = jax.tree.map(
+            lambda buf: jnp.take(buf, phys, axis=buf.ndim - 1), state.storage)
+        batch["next_obs"] = jnp.take(
+            state.storage["obs"], nxt, axis=state.storage["obs"].ndim - 1)
+        return batch
+
+    def can_sample(self, state: ReplayState) -> jax.Array:
+        return state.size - self.stride >= self.batch_size
+
+
 class ReplayBuffer:
     """Convenience facade binding static geometry to the pure functions."""
 
-    def __init__(self, capacity: int = 10_000, batch_size: int = 64):
+    def __init__(self, capacity: int = 10_000, batch_size: int = 64,
+                 uniform_pushes: bool = False):
         self.capacity = capacity
         self.batch_size = batch_size
+        self.uniform_pushes = uniform_pushes
 
     def init(self, template: Any) -> ReplayState:
         return init(template, self.capacity)
@@ -198,7 +274,8 @@ class ReplayBuffer:
         return push(state, experience, self.capacity)
 
     def push_many(self, state: ReplayState, batch: Any) -> ReplayState:
-        return push_many(state, batch, self.capacity)
+        return push_many(
+            state, batch, self.capacity, aligned=self.uniform_pushes)
 
     def sample(self, key: jax.Array, state: ReplayState) -> Any:
         return sample(key, state, self.batch_size)

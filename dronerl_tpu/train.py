@@ -193,7 +193,7 @@ def build_train_step(
 
 def build_train_step_fused(
     agent: DQN,
-    buffer: replay.FeatureMajorReplay,
+    buffer: replay.StreamReplay,
     env_params: EnvParams,
     num_envs: int,
     collect_drones: int,
@@ -227,15 +227,15 @@ def build_train_step_fused(
         tstate, rewards_t, dones_t, next_obs_t = fused_tick.tick_fused(
             step_key, tstate, actions_t, env_params, k, interpret)
 
+        # Single-stream replay: only the CURRENT observation is stored;
+        # next_obs is recovered at sample time as the slot one step later
+        # in the ring (see replay.StreamReplay).
         exps = {
             "obs": jnp.concatenate(
                 [obs_t[i * obs_dim : (i + 1) * obs_dim] for i in range(k)],
                 axis=1) if k > 1 else obs_t,
             "actions": actions_t[:k].reshape(-1),
             "rewards": rewards_t[:k].reshape(-1),
-            "next_obs": jnp.concatenate(
-                [next_obs_t[i * obs_dim : (i + 1) * obs_dim]
-                 for i in range(k)], axis=1) if k > 1 else next_obs_t,
             "dones": dones_t[:k].reshape(-1),
         }
         bstate = buffer.push_many(bstate, exps)
@@ -426,9 +426,12 @@ def train(args) -> dict:
         if use_fused:
             from dronerl_tpu.ops import fused_tick
 
-            buffer = replay.FeatureMajorReplay(
-                capacity=capacity, batch_size=args.batch_size)
-            bstate = buffer.init(template)
+            buffer = replay.StreamReplay(
+                capacity=max(capacity, 2 * push_size),
+                batch_size=args.batch_size, stride=push_size)
+            bstate = buffer.init(
+                {key: template[key] for key in
+                 ("obs", "actions", "rewards", "dones")})
             tick = build_train_step_fused(
                 agent, buffer, env_params, args.num_envs,
                 args.collect_drones, args.reset_env_every)
@@ -437,7 +440,8 @@ def train(args) -> dict:
                 args.num_envs, args.collect_drones * agent.obs_dim).T
         else:
             buffer = replay.ReplayBuffer(
-                capacity=capacity, batch_size=args.batch_size)
+                capacity=capacity, batch_size=args.batch_size,
+                uniform_pushes=True)
             bstate = buffer.init(template)
             tick = build_train_step(
                 agent, buffer, env_params, args.num_envs,

@@ -154,6 +154,45 @@ class TestFeatureMajorReplay:
         np.testing.assert_array_equal(got, expected)
 
 
+class TestStreamReplay:
+    def test_next_obs_is_successor_slot(self):
+        stride, cap = 4, 16
+        buf = replay.StreamReplay(capacity=cap, batch_size=8, stride=stride)
+        state = buf.init({"obs": jnp.zeros((2,), jnp.float32),
+                          "actions": jnp.array(0, jnp.int32)})
+        # push steps 0..5 (wraps after step 3); obs encodes (step, env)
+        for t in range(6):
+            obs = jnp.stack([
+                jnp.full((stride,), t, jnp.float32),
+                jnp.arange(stride, dtype=jnp.float32)])
+            state = buf.push_many(
+                state, {"obs": obs,
+                        "actions": jnp.full((stride,), t, jnp.int32)})
+        assert bool(buf.can_sample(state))
+        batch = buf.sample(jax.random.PRNGKey(0), state)
+        steps = np.asarray(batch["obs"][0])
+        envs = np.asarray(batch["obs"][1])
+        next_steps = np.asarray(batch["next_obs"][0])
+        next_envs = np.asarray(batch["next_obs"][1])
+        # successor = same env, one step later; newest step never sampled
+        np.testing.assert_array_equal(next_steps, steps + 1)
+        np.testing.assert_array_equal(next_envs, envs)
+        assert (steps >= 2).all() and (steps <= 4).all()  # stored: 2..5
+
+    def test_not_full_excludes_newest(self):
+        stride = 4
+        buf = replay.StreamReplay(capacity=32, batch_size=16, stride=stride)
+        state = buf.init({"obs": jnp.zeros((1,), jnp.float32)})
+        for t in range(3):
+            state = buf.push_many(
+                state, {"obs": jnp.full((1, stride), t, jnp.float32)})
+        batch = buf.sample(jax.random.PRNGKey(1), state)
+        steps = np.asarray(batch["obs"][0])
+        assert (steps <= 1).all()
+        np.testing.assert_array_equal(
+            np.asarray(batch["next_obs"][0]), steps + 1)
+
+
 def test_fused_trainer_tick_smoke_interpret():
     from dronerl_tpu.train import build_train_step_fused
 
@@ -161,12 +200,12 @@ def test_fused_trainer_tick_smoke_interpret():
     num_envs = 128
     agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
                           target_update_interval=5), env_params)
-    buf = replay.FeatureMajorReplay(capacity=num_envs * 4, batch_size=8)
+    buf = replay.StreamReplay(
+        capacity=num_envs * 4, batch_size=8, stride=num_envs)
     template = {
         "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "actions": jnp.array(0, jnp.int32),
         "rewards": jnp.array(0.0, jnp.float32),
-        "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
         "dones": jnp.array(False, jnp.bool_),
     }
     rng = jax.random.PRNGKey(0)
