@@ -247,12 +247,17 @@ class DQN:
         return jnp.where(explore, random_acts, greedy_actions)
 
     def train_step_t(
-        self, state: DQNState, batch: Dict[str, jax.Array]
+        self,
+        state: DQNState,
+        batch: Dict[str, jax.Array],
+        axis_name: Optional[str] = None,
     ) -> Tuple[DQNState, jax.Array]:
         """TD(0) update on a feature-major replay batch.
 
         ``batch``: obs/next_obs (obs_dim, B); actions/rewards/dones (B,).
-        Same math as :meth:`train_step` on transposed operands.
+        Same math as :meth:`train_step` on transposed operands. With
+        ``axis_name`` (inside ``shard_map``) gradients and loss are
+        pmean-reduced over the mesh axis before the (replicated) update.
         """
 
         def loss_fn(params):
@@ -267,6 +272,9 @@ class DQN:
             return jnp.mean(jnp.square(taken - jax.lax.stop_gradient(target)))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

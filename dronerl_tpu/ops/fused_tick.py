@@ -86,21 +86,35 @@ def from_tstate(tstate: TState, params: EnvParams) -> EnvState:
 
 
 def _split_rows(k1, k2):
-    """jax.random.split(key) rows for (1, E) key vectors."""
-    zeros = jnp.zeros_like(k1)
-    ones = jnp.ones_like(k1)
-    a1, a2 = threefry2x32(k1, k2, zeros, zeros)
-    b1, b2 = threefry2x32(k1, k2, zeros, ones)
-    return (a1, a2), (b1, b2)
+    """jax.random.split(key) rows for (1, E) key vectors.
+
+    One threefry pass over a (2, E) count block — the per-hash op count
+    is the cost driver in-kernel, not the element count.
+    """
+    counts = jax.lax.broadcasted_iota(_U32, (2, 1), 0)
+    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
+    return (b1[:1], b2[:1]), (b1[1:], b2[1:])
 
 
-def _uniform_cells(k1, k2, num_cells):
-    """uniform(key, (C,)) per lane for (1, E) keys → (C, E) float32."""
-    counts = jax.lax.broadcasted_iota(_U32, (num_cells, 1), 0)
+def _uniform_cells_pair(ka1, ka2, kb1, kb2, num_cells):
+    """Two uniform(key, (C,)) fields in ONE threefry pass.
+
+    Equals ``(uniform(ka, (C,)), uniform(kb, (C,)))``: the per-lane keys
+    are stacked along sublanes so one 20-round hash covers both fields.
+    """
+    counts = jax.lax.broadcasted_iota(
+        _U32, (2 * num_cells, 1), 0) % _U32(num_cells)
+    k1 = jnp.concatenate(
+        [jnp.broadcast_to(ka1, (num_cells, ka1.shape[1])),
+         jnp.broadcast_to(kb1, (num_cells, kb1.shape[1]))], axis=0)
+    k2 = jnp.concatenate(
+        [jnp.broadcast_to(ka2, (num_cells, ka2.shape[1])),
+         jnp.broadcast_to(kb2, (num_cells, kb2.shape[1]))], axis=0)
     b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
     bits = b1 ^ b2
     fbits = (bits >> _U32(9)) | _U32(0x3F800000)
-    return jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
+    u = jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
+    return u[:num_cells], u[num_cells:]
 
 
 def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
@@ -183,8 +197,8 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
         jnp.zeros_like(counts), counts)
     (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
     (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
-    u_ground = _uniform_cells(rk1, rk2, c)   # shared by packet + dropzone
-    u_air = _uniform_cells(ak1, ak2, c)
+    # u_ground is shared by the packet AND dropzone respawns (key quirk).
+    u_ground, u_air = _uniform_cells_pair(rk1, rk2, ak1, ak2, c)
 
     orig_ground = ground_ref[:].astype(jnp.float32)     # (C, B)
     air_x = ax_ref[:]                                    # (N, B)
@@ -299,6 +313,10 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
         charge_cells = jnp.where(
             cell == row(new_y, i) * g + row(new_x, i),
             row(charge, i) + 1.0, charge_cells)
+    # Pack ground code and per-cell charge into one field (code·128 + chg,
+    # both small non-negative integers) so every window position costs a
+    # single point-read over the cell axis instead of two.
+    packed = ground * 128.0 + charge_cells
     for i in range(collect):
         cy = row(new_y, i)
         cx = row(new_x, i)
@@ -310,9 +328,11 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
             wx = cx + dx_p
             inside = (wy >= 0) & (wy < g) & (wx >= 0) & (wx < g)
             flat = jnp.clip(wy, 0, g - 1) * g + jnp.clip(wx, 0, g - 1)
-            code = point_read(ground, flat)
+            val = point_read(packed, flat)
+            code = jnp.floor(val * (1.0 / 128.0))
+            chg = val - code * 128.0
             code = jnp.where(inside, code, float(Object.SKYSCRAPER.value))
-            chg = jnp.where(inside, point_read(charge_cells, flat), 0.0)
+            chg = jnp.where(inside, chg, 0.0)
             base = (i * w * w + p) * NUM_OBS_CHANNELS
             is_packet = code == Object.PACKET.value
             if dy_p == 0 and dx_p == 0:
@@ -355,7 +375,7 @@ def supports(params: EnvParams, num_envs: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "collect", "interpret"))
+    jax.jit, static_argnames=("params", "collect", "interpret", "vma"))
 def tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -363,6 +383,7 @@ def tick_fused(
     params: EnvParams,
     collect: int = 1,
     interpret: bool = False,
+    vma: Tuple[str, ...] = (),
 ) -> Tuple[TState, jax.Array, jax.Array, jax.Array]:
     """Fused step + observe on transposed state.
 
@@ -394,15 +415,18 @@ def tick_fused(
             spec(obs_rows),
         ),
     )
+    # Inside shard_map, pallas outputs must declare how they vary over
+    # mesh axes (vma) — the caller passes its mesh axis names.
+    kw = {"vma": frozenset(vma)} if vma else {}
     out_shapes = (
-        jax.ShapeDtypeStruct((c, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((obs_rows, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((c, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((obs_rows, num_envs), jnp.float32, **kw),
     )
     key_i32 = jax.lax.bitcast_convert_type(
         step_key.astype(jnp.uint32), jnp.int32)

@@ -74,6 +74,8 @@ class DistributedTrainer:
         collect_drones: int = 1,
         reset_env_every: int = 100,
         axis_name: str = "dp",
+        engine: str = "jnp",
+        interpret: bool = False,
     ):
         self.agent = agent
         self.env_params = env_params
@@ -83,6 +85,10 @@ class DistributedTrainer:
         if num_envs % self.num_devices:
             raise ValueError(
                 f"num_envs ({num_envs}) must divide over {self.num_devices} devices")
+        if engine not in ("jnp", "fused"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self.interpret = interpret
         self.num_envs = num_envs
         self.envs_per_shard = num_envs // self.num_devices
         self.collect_drones = collect_drones
@@ -91,26 +97,58 @@ class DistributedTrainer:
         # hit the contiguous fast path (see replay.push_many).
         push = self.envs_per_shard * collect_drones
         capacity = -(-buffer_capacity_per_shard // push) * push
-        self.buffer = replay.ReplayBuffer(
-            capacity=capacity,
-            batch_size=batch_size_per_shard,
-            uniform_pushes=True)
 
-        # Carry partition specs: (rng, env_states, obs, ag_state, bstate, step)
-        env_spec = jax.tree.map(lambda _: P(self.axis), self._env_template())
-        bstate_spec = replay.ReplayState(
-            storage=jax.tree.map(lambda _: P(self.axis), self._buffer_template()),
-            cursor=P(),
-            size=P(),
-        )
-        self.carry_specs = (
-            P(),          # host rng (replicated; shards fold in their index)
-            env_spec,     # env states sharded over dp
-            P(self.axis),  # learner observations sharded over dp
-            jax.tree.map(lambda _: P(), self._agent_template()),  # replicated
-            bstate_spec,
-            P(),          # step counter
-        )
+        agent_spec = jax.tree.map(lambda _: P(), self._agent_template())
+        if engine == "fused":
+            # Feature-major everything: lanes (the LAST axis) shard over dp.
+            self.buffer = replay.StreamReplay(
+                capacity=max(capacity, 2 * push),
+                batch_size=batch_size_per_shard, stride=push)
+            bstate_spec = replay.ReplayState(
+                storage={
+                    "obs": P(None, self.axis),
+                    "actions": P(self.axis),
+                    "rewards": P(self.axis),
+                    "dones": P(self.axis),
+                },
+                cursor=P(),
+                size=P(),
+            )
+            from dronerl_tpu.ops import fused_tick
+
+            tstate_spec = fused_tick.TState(
+                ground=P(None, self.axis), air_x=P(None, self.axis),
+                air_y=P(None, self.axis), carrying=P(None, self.axis),
+                charge=P(None, self.axis))
+            self.carry_specs = (
+                P(),                 # host rng
+                tstate_spec,         # transposed env state, lanes sharded
+                P(None, self.axis),  # learner observations (D, E)
+                agent_spec,          # replicated learner
+                bstate_spec,
+                P(),                 # step counter
+            )
+        else:
+            self.buffer = replay.ReplayBuffer(
+                capacity=capacity,
+                batch_size=batch_size_per_shard,
+                uniform_pushes=True)
+            env_spec = jax.tree.map(
+                lambda _: P(self.axis), self._env_template())
+            bstate_spec = replay.ReplayState(
+                storage=jax.tree.map(
+                    lambda _: P(self.axis), self._buffer_template()),
+                cursor=P(),
+                size=P(),
+            )
+            self.carry_specs = (
+                P(),          # host rng (shards fold in their index)
+                env_spec,     # env states sharded over dp
+                P(self.axis),  # learner observations sharded over dp
+                agent_spec,   # replicated
+                bstate_spec,
+                P(),          # step counter
+            )
 
     # --- templates used only to derive pytree structure for specs -------
 
@@ -145,6 +183,9 @@ class DistributedTrainer:
         envs_per_shard = self.envs_per_shard
         k = self.collect_drones
         axis = self.axis
+        fused = self.engine == "fused"
+        if fused:
+            from dronerl_tpu.ops import fused_tick
 
         @partial(
             jax.shard_map,
@@ -157,22 +198,127 @@ class DistributedTrainer:
             env_states = env_core.reset_batch(
                 shard_rng, env_params, envs_per_shard)
             obs = env_core.observe_batch(env_states, env_params, k)
-            obs = obs.reshape(envs_per_shard, k, agent.obs_dim)
             ag_state = agent.init_state(rng)  # replicated: same key everywhere
             template = {
                 "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
                 "actions": jnp.array(0, jnp.int32),
                 "rewards": jnp.array(0.0, jnp.float32),
-                "next_obs": jnp.zeros((agent.obs_dim,), jnp.float32),
                 "dones": jnp.array(False, jnp.bool_),
             }
-            bstate = buffer.init(template)
+            if fused:
+                bstate = buffer.init(template)
+                tstate = fused_tick.to_tstate(env_states)
+                obs_t = obs.reshape(envs_per_shard, k * agent.obs_dim).T
+                return rng, tstate, obs_t, ag_state, bstate, jnp.array(0)
+            bstate = buffer.init(dict(
+                template,
+                next_obs=jnp.zeros((agent.obs_dim,), jnp.float32)))
+            obs = obs.reshape(envs_per_shard, k, agent.obs_dim)
             return rng, env_states, obs, ag_state, bstate, jnp.array(0)
 
         return jax.jit(_init)(rng)
 
+    def _build_fused_tick(self):
+        from dronerl_tpu.ops import fused_tick
+
+        agent = self.agent
+        buffer = self.buffer
+        env_params = self.env_params
+        envs_per_shard = self.envs_per_shard
+        k = self.collect_drones
+        reset_env_every = self.reset_env_every
+        axis = self.axis
+        interpret = self.interpret
+        obs_dim = agent.obs_dim
+
+        def tick(carry, _):
+            rng, tstate, obs_t, ag_state, bstate, step = carry
+            local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            local = jax.random.fold_in(local, step)
+            rand_key, act_key, step_key, sample_key, reset_key = (
+                jax.random.split(local, 5))
+
+            actions_t = jax.random.randint(
+                rand_key, (env_params.n_drones, envs_per_shard),
+                0, NUM_ACTIONS)
+            dqn_actions = agent.act_t(act_key, obs_t[:obs_dim], ag_state)
+            actions_t = actions_t.at[0].set(dqn_actions)
+
+            tstate, rewards_t, dones_t, next_obs_t = fused_tick.tick_fused(
+                step_key, tstate, actions_t, env_params, k, interpret,
+                vma=(axis,))
+
+            exps = {
+                "obs": jnp.concatenate(
+                    [obs_t[i * obs_dim : (i + 1) * obs_dim]
+                     for i in range(k)], axis=1) if k > 1 else obs_t,
+                "actions": actions_t[:k].reshape(-1),
+                "rewards": rewards_t[:k].reshape(-1),
+                "dones": dones_t[:k].reshape(-1),
+            }
+            bstate = buffer.push_many(bstate, exps)
+
+            def do_train(operand):
+                ag, bs, key = operand
+                batch = buffer.sample(key, bs)
+                batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+                return agent.train_step_t(ag, batch, axis_name=axis)
+
+            def no_train(operand):
+                zero = jax.lax.pmean(0.0, axis)
+                return operand[0], zero
+
+            ag_state, loss = jax.lax.cond(
+                buffer.can_sample(bstate),
+                do_train, no_train,
+                (ag_state, bstate, sample_key))
+
+            ag_state = jax.lax.cond(
+                step % agent.config.target_update_interval == 0,
+                agent.update_target, lambda s: s, ag_state)
+            ag_state = jax.lax.cond(
+                agent.should_decay_epsilon(step, jnp.array(False)),
+                agent.decay_epsilon, lambda s: s, ag_state)
+
+            def fresh(rkey):
+                states = env_core.reset_batch(rkey, env_params, envs_per_shard)
+                o = env_core.observe_batch(states, env_params, k)
+                o = o.reshape(envs_per_shard, k * obs_dim).T
+                return ensure_varying(
+                    (fused_tick.to_tstate(states), o), axis)
+
+            tstate, next_obs_t = jax.lax.cond(
+                step % reset_env_every == 0,
+                fresh, lambda _: (tstate, next_obs_t), reset_key)
+
+            rng = jax.random.fold_in(rng, 1)
+            carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
+            return carry, rewards_t[0]
+
+        return tick
+
     def build_chunk(self, scan_steps: int):
         """Jitted program running ``scan_steps`` fused train ticks."""
+        if self.engine == "fused":
+            tick = self._build_fused_tick()
+            axis = self.axis
+
+            # check_vma=False: varying-axis inference does not yet
+            # propagate through pallas_call (upstream jax limitation; the
+            # error message recommends exactly this). Collectives remain
+            # explicit (pmean in the learner), so semantics are unchanged.
+            @partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(self.carry_specs,),
+                out_specs=(self.carry_specs, P(None, axis)),
+                check_vma=False,
+            )
+            def chunk(carry):
+                return jax.lax.scan(tick, carry, length=scan_steps)
+
+            return jax.jit(chunk)
+
         agent = self.agent
         buffer = self.buffer
         env_params = self.env_params

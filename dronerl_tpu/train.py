@@ -388,6 +388,12 @@ def train(args) -> dict:
                 "boundary ε decay is not defined across env shards)")
         mesh = make_env_mesh()
         ndev = mesh.devices.size
+        sharded_engine = "fused" if (
+            args.engine == "fused"
+            or (args.engine == "auto" and fused_engine_supported(
+                agent, env_params, args.num_envs // ndev))
+        ) else "jnp"
+        logger.info("Sharded engine: %s", sharded_engine)
         trainer = DistributedTrainer(
             agent, env_params, mesh,
             num_envs=args.num_envs,
@@ -395,6 +401,7 @@ def train(args) -> dict:
             batch_size_per_shard=max(1, args.batch_size // ndev),
             collect_drones=args.collect_drones,
             reset_env_every=args.reset_env_every,
+            engine=sharded_engine,
         )
         carry = trainer.init_carry(rng)
         chunk_fn = trainer.build_chunk(scan_steps)

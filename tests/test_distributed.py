@@ -78,3 +78,35 @@ def test_mesh_subset():
     chunk = trainer.build_chunk(scan_steps=3)
     carry, rewards = chunk(carry)
     assert rewards.shape == (3, 8)
+
+
+def test_fused_engine_chunk_interpret():
+    """Fused Pallas engine under shard_map: envs/replay shard on lanes,
+    learner params stay replicated through psum-synced updates."""
+    import numpy as np
+    from dronerl_tpu.parallel import DistributedTrainer, make_env_mesh
+    from dronerl_tpu.agents.dqn import DQN, DQNConfig
+    from dronerl_tpu.env.types import EnvParams
+
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    mesh = make_env_mesh(8)
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=8 * 128,
+        buffer_capacity_per_shard=4 * 128,
+        batch_size_per_shard=4,
+        engine="fused",
+        interpret=True,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    chunk = trainer.build_chunk(scan_steps=3)
+    carry, rewards = chunk(carry)
+    assert rewards.shape == (3, 8 * 128)
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert int(carry[-1]) == 3
+    # params replicated: every shard applied identical psum-synced updates
+    leaves = jax.tree.leaves(carry[3].params)
+    for leaf in leaves:
+        assert np.isfinite(np.asarray(leaf)).all()
