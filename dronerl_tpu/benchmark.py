@@ -35,11 +35,18 @@ NUM_ENVS = 256
 
 
 def _time_scan(tick, carry, steps: int) -> float:
-    run = jax.jit(lambda c: jax.lax.scan(tick, c, length=steps))
-    out = run(carry)
-    jax.block_until_ready(out)
+    def run_fn(c):
+        c, ys = jax.lax.scan(tick, c, length=steps)
+        # scalar readback target: a host transfer is the only reliable
+        # sync on tunneled backends (block_until_ready may return early)
+        return c, jnp.sum(jax.tree.leaves(ys)[0].astype(jnp.float32))
+
+    run = jax.jit(run_fn)
+    carry, s = run(carry)
+    float(s)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(carry))
+    _, s = run(carry)
+    float(s)
     return time.perf_counter() - t0
 
 
@@ -109,13 +116,35 @@ def bench_config(name: str, overrides: dict, n_drones: int, steps: int,
 
     learn_t = _time_scan(tick_learn, (rng, ag_state), steps)
 
-    # full fused loop
-    full_buffer = replay.ReplayBuffer(capacity=10_000, batch_size=64)
-    full_tick = build_train_step(agent, full_buffer, params, num_envs, 1, 100)
-    carry = (rng, states,
-             env_core.observe_batch(states, params, 1).reshape(
-                 num_envs, 1, agent.obs_dim),
-             ag_state, full_buffer.init(template), jnp.array(0))
+    # full training loop — the fused Pallas engine when available, else jnp
+    from dronerl_tpu.train import (
+        build_train_step_fused, fused_engine_supported)
+
+    if fused_engine_supported(agent, params, num_envs):
+        from dronerl_tpu.ops import fused_tick
+
+        capacity = -(-10_000 // num_envs) * num_envs
+        sbuf = replay.StreamReplay(
+            capacity=max(capacity, 2 * num_envs), batch_size=64,
+            stride=num_envs)
+        stemplate = {k: template[k]
+                     for k in ("obs", "actions", "rewards", "dones")}
+        full_tick = build_train_step_fused(
+            agent, sbuf, params, num_envs, 1, 100)
+        carry = (rng, fused_tick.to_tstate(states),
+                 env_core.observe_batch(states, params, 1).reshape(
+                     num_envs, agent.obs_dim).T,
+                 ag_state, sbuf.init(stemplate), jnp.array(0))
+    else:
+        full_buffer = replay.ReplayBuffer(
+            capacity=-(-10_000 // num_envs) * num_envs, batch_size=64,
+            uniform_pushes=True)
+        full_tick = build_train_step(
+            agent, full_buffer, params, num_envs, 1, 100)
+        carry = (rng, states,
+                 env_core.observe_batch(states, params, 1).reshape(
+                     num_envs, 1, agent.obs_dim),
+                 ag_state, full_buffer.init(template), jnp.array(0))
     full_t = _time_scan(full_tick, carry, steps)
 
     total_obs = num_envs * steps

@@ -31,6 +31,8 @@ def main():
     parser.add_argument("--envs_per_device", type=int, default=256)
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--engine", choices=["auto", "fused", "jnp"],
+                        default="auto")
     args = parser.parse_args()
 
     import jax
@@ -50,6 +52,12 @@ def main():
     config = DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
                        target_update_interval=10)
 
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if args.engine == "auto":
+        engine = "fused" if (on_tpu and args.envs_per_device >= 128) else "jnp"
+    else:
+        engine = args.engine
+
     total = jax.device_count()
     device_counts = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= total]
     results = []
@@ -62,6 +70,8 @@ def main():
             num_envs=args.envs_per_device * ndev,
             buffer_capacity_per_shard=args.envs_per_device * 40,
             batch_size_per_shard=8,
+            engine=engine,
+            interpret=engine == "fused" and not on_tpu,
         )
         carry = trainer.init_carry(jax.random.PRNGKey(0))
         chunk = trainer.build_chunk(args.steps)
