@@ -28,7 +28,7 @@ from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env import core as env_core
 from dronerl_tpu.env.types import EnvParams
 from dronerl_tpu.ops import fused_tick
-from dronerl_tpu.train import build_train_step_fused, setup_compilation_cache
+from dronerl_tpu.train import build_train_step_full, setup_compilation_cache
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
 NUM_ENVS = 32768
@@ -61,7 +61,7 @@ def main():
         "dones": jnp.array(False, jnp.bool_),
     }
     bstate = buffer.init(template)
-    tick = build_train_step_fused(agent, buffer, env_params, NUM_ENVS, 1, 100)
+    tick = build_train_step_full(agent, buffer, env_params, NUM_ENVS, 1, 100)
 
     @jax.jit
     def run(carry, dummy):

@@ -1,6 +1,6 @@
-"""Transposed (feature-major) fused env step + observation Pallas kernel.
+"""Transposed (feature-major) fused env step + observation Pallas kernels.
 
-The second-generation fused kernel. Layout: **cells/drones on sublanes,
+The second-generation fused engine. Layout: **cells/drones on sublanes,
 envs on lanes** — `ground_t` is (C, E) int8, drone fields are (N, E).
 This is the natural TPU register layout for this workload: per-drone
 scalars occupy one (8, 128) tile per op instead of sixteen, threefry runs
@@ -8,12 +8,22 @@ on (1, E) row vectors, and spawn-rank reductions run across sublanes.
 Measured against the row-major kernel (ops/step_kernel.py) this cuts VPU
 tile traffic ~10x.
 
-Beyond the relayout, two structural wins over step_kernel.py:
+Two kernels share one physics/observation body:
+
+* :func:`tick_fused` — step + observe; actions come from the caller.
+* :func:`full_tick_fused` — the ENTIRE training tick's environment side
+  in one dispatch: in-kernel ε-greedy actor (dense Q-network forward on
+  the MXU + opponent sampling), step physics, respawns, observation
+  encoding, and the periodic env reset under a predicated `pl.when`
+  branch. Optionally writes observations straight into the replay ring
+  (aliased in/out buffer, cursor-indexed block maps) so the trainer never
+  materializes or copies an observation tensor.
+
+Structural wins over the row-major kernel:
 
 * **Observation fusion**: the egocentric window encoder (core.observe,
-  `wrapper='window'`) runs inside the same kernel and writes the
-  flattened (k·7·7·6, E) learner observation directly — the training
-  loop never touches the board grid outside the kernel.
+  `wrapper='window'`) runs in-kernel and emits the flattened
+  (k·7·7·6, E) learner observation.
 * **Reduced spawn rounds**: only the first `n_drones` respawn slots can
   carry a non-zero fill, so the kernel runs n argmax-and-retire rounds
   (not packets_factor·n) and reproduces the remaining slots' only
@@ -22,26 +32,37 @@ Beyond the relayout, two structural wins over step_kernel.py:
   triangular matmul that ranks occupied cells by index (the top_k -inf
   tail order) and erases exactly those ranked in [n, k).
 
-Bit-exactness: same contract as step_kernel.py — equal to
+Bit-exactness: the env-side contract equals
 ``vmap(core.step)(jax.random.split(step_key, E), ...)`` plus
 ``core.observe_batch(next_state, params, k)`` — asserted in
 tests/test_fused_tick.py on CPU (interpret) and exercised compiled on TPU.
+The in-kernel reset equals ``core.reset_batch(reset_key, params, E)``.
 One caveat: the observation's charge-fraction channel (``charge / 100``)
 may differ from the jnp encoder by 1 ULP — XLA rewrites the divide to a
 reciprocal multiply in some fusion contexts but not others, so even two
 compilations of the *same* jnp source can disagree there. State, rewards,
 dones and every other observation channel are exact.
+
+Trainer-level RNG contract of :func:`full_tick_fused` (NOT parity-locked;
+the reference locks only the env's own key consumption): with
+``S = jax.random.split(step_key, E + 2)``, env e steps with key ``S[e]``
+(identical to the jnp trainer), the actor draws its (N+1, E) uniform
+field from key ``S[E]`` (row 0 gates exploration, rows 1..N are
+per-drone random actions via ``floor(u * NUM_ACTIONS)``), and the
+periodic reset uses ``core.reset_batch`` semantics with base key
+``S[E+1]``.
 """
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dronerl_tpu.constants import Action, Object, NUM_OBS_CHANNELS
+from dronerl_tpu.constants import (
+    Action, Object, NUM_ACTIONS, NUM_OBS_CHANNELS)
 from dronerl_tpu.env.types import EnvParams, EnvState
 from dronerl_tpu.ops.step_kernel import threefry2x32
 
@@ -96,118 +117,153 @@ def _split_rows(k1, k2):
     return (b1[:1], b2[:1]), (b1[1:], b2[1:])
 
 
-def _uniform_cells_pair(ka1, ka2, kb1, kb2, num_cells):
-    """Two uniform(key, (C,)) fields in ONE threefry pass.
-
-    Equals ``(uniform(ka, (C,)), uniform(kb, (C,)))``: the per-lane keys
-    are stacked along sublanes so one 20-round hash covers both fields.
-    """
-    counts = jax.lax.broadcasted_iota(
-        _U32, (2 * num_cells, 1), 0) % _U32(num_cells)
-    k1 = jnp.concatenate(
-        [jnp.broadcast_to(ka1, (num_cells, ka1.shape[1])),
-         jnp.broadcast_to(kb1, (num_cells, kb1.shape[1]))], axis=0)
-    k2 = jnp.concatenate(
-        [jnp.broadcast_to(ka2, (num_cells, ka2.shape[1])),
-         jnp.broadcast_to(kb2, (num_cells, kb2.shape[1]))], axis=0)
-    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
-    bits = b1 ^ b2
+def _bits_to_unit_float(bits):
     fbits = (bits >> _U32(9)) | _U32(0x3F800000)
-    u = jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
-    return u[:num_cells], u[num_cells:]
+    return jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
 
 
-def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
-                 act_ref, out_ground, out_ax, out_ay, out_carry, out_charge,
-                 out_rew, out_done, out_obs, *, params: EnvParams,
-                 collect: int, block: int):
-    g = params.grid_size
-    c = params.num_cells
-    n = params.n_drones
-    k_spawn = params.num_packets
-    r = params.window_radius
-    w = 2 * r + 1
-    cell = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
-    cell_f = cell.astype(jnp.float32)
-    neg_inf = jnp.float32(-jnp.inf)
+def _uniform_cells_multi(key_pairs, num_cells):
+    """k uniform(key_i, (C,)) fields in ONE threefry pass.
 
-    def wrap_clamp(i):
+    ``key_pairs``: sequence of ((1,E),(1,E)) uint32 word pairs. Equals
+    ``[jax.random.uniform(key_i, (C,)) for i]`` per lane.
+    """
+    m = len(key_pairs)
+    counts = jax.lax.broadcasted_iota(
+        _U32, (m * num_cells, 1), 0) % _U32(num_cells)
+    width = key_pairs[0][0].shape[1]
+    k1 = jnp.concatenate(
+        [jnp.broadcast_to(ka, (num_cells, width)) for ka, _ in key_pairs],
+        axis=0)
+    k2 = jnp.concatenate(
+        [jnp.broadcast_to(kb, (num_cells, width)) for _, kb in key_pairs],
+        axis=0)
+    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
+    u = _bits_to_unit_float(b1 ^ b2)
+    return [u[i * num_cells : (i + 1) * num_cells] for i in range(m)]
+
+
+class _GridOps:
+    """Per-kernel helper closures over the static geometry."""
+
+    def __init__(self, params: EnvParams, block: int):
+        self.params = params
+        self.g = params.grid_size
+        self.c = params.num_cells
+        self.n = params.n_drones
+        self.block = block
+        self.cell = jax.lax.broadcasted_iota(jnp.int32, (self.c, 1), 0)
+        self.cell_f = self.cell.astype(jnp.float32)
+        self.neg_inf = jnp.float32(-jnp.inf)
+        # Strictly-lower-triangular ones: index-rank among a mask via matmul.
+        self.tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (self.c, self.c), 1)
+            < jax.lax.broadcasted_iota(jnp.int32, (self.c, self.c), 0)
+        ).astype(jnp.float32)
+
+    def wrap_clamp(self, i):
+        g = self.g
         return jnp.clip(jnp.where(i < 0, i + g, i), 0, g - 1)
 
+    @staticmethod
     def row(x, i):
         return x[i : i + 1, :]
 
-    def point_read(field, flat_idx_row):
+    def point_read(self, field, flat_idx_row):
         """field (C, E) read at (1, E) indices → (1, E)."""
-        sel = cell == flat_idx_row
+        sel = self.cell == flat_idx_row
         return jnp.sum(jnp.where(sel, field, 0.0), axis=0, keepdims=True)
 
-    def argmax_lowest(scores):
+    def argmax_lowest(self, scores):
         best = jnp.max(scores, axis=0, keepdims=True)
         return jnp.min(
-            jnp.where(scores == best, cell, c), axis=0, keepdims=True)
+            jnp.where(scores == best, self.cell, self.c),
+            axis=0, keepdims=True)
 
-    def last_writer_mask(rows_d, cols_d, flags):
+    def last_writer_mask(self, rows_d, cols_d, flags):
         """zeros.at[rows, cols].set(flags): wrap, drop OOB, last wins."""
+        g = self.g
         rows_w = jnp.where(rows_d < 0, rows_d + g, rows_d)
         cols_w = jnp.where(cols_d < 0, cols_d + g, cols_d)
         valid = (rows_w >= 0) & (rows_w < g) & (cols_w >= 0) & (cols_w < g)
         flat = rows_w * g + cols_w
-        writes = (cell == row(flat, 0)) & row(valid, 0)
-        mask = writes & row(flags, 0)
-        for i in range(1, n):
-            writes = (cell == row(flat, i)) & row(valid, i)
-            mask = (writes & row(flags, i)) | (~writes & mask)
+        writes = (self.cell == self.row(flat, 0)) & self.row(valid, 0)
+        mask = writes & self.row(flags, 0)
+        for i in range(1, self.n):
+            writes = (self.cell == self.row(flat, i)) & self.row(valid, i)
+            mask = (writes & self.row(flags, i)) | (~writes & mask)
         return mask
 
-    def sentinel(u, valid):
-        return jnp.where(valid, u, -1.0 - cell_f)
+    def sentinel(self, u, valid):
+        """where(valid, u, -inf) with the tail totally ordered by index:
+        invalid cells score -1 - index, below every u ∈ [0, 1)."""
+        return jnp.where(valid, u, -1.0 - self.cell_f)
 
-    # Strictly-lower-triangular ones: rank-by-index among a mask via matmul.
-    tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-        < jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    ).astype(jnp.float32)
-
-    def ground_respawn(ground, u, fill_rows):
+    def ground_respawn(self, ground, u, fill_rows):
         """n argmax rounds + tail-erase == the reference's k-slot spawn."""
+        n = self.n
+        k_spawn = self.params.num_packets
         vac = ground == 0
         n_vacant = jnp.sum(vac.astype(jnp.float32), axis=0, keepdims=True)
         occ = (~vac).astype(jnp.float32)
         rank_occ = jax.lax.dot_general(
-            tri, occ, (((1,), (0,)), ((), ())),
+            self.tri, occ, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         overall = rank_occ + n_vacant  # occupied cell's top_k rank
         erase = (~vac) & (overall >= float(n)) & (overall < float(k_spawn))
-        scores = sentinel(u, vac)
+        scores = self.sentinel(u, vac)
         for fill in fill_rows:
-            chosen = cell == argmax_lowest(scores)
+            chosen = self.cell == self.argmax_lowest(scores)
             ground = jnp.where(chosen, fill, ground)
-            scores = jnp.where(chosen, neg_inf, scores)
+            scores = jnp.where(chosen, self.neg_inf, scores)
         return jnp.where(erase, 0.0, ground)
 
-    # --- per-env PRNG keys: rows of jax.random.split(step_key, E) ----------
-    env0 = pl.program_id(0) * block
-    counts = (env0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)).astype(
-        _U32)
-    sk1 = key_ref[0].astype(_U32)
-    sk2 = key_ref[1].astype(_U32)
-    ek1, ek2 = threefry2x32(
-        jnp.full((1, block), sk1, _U32), jnp.full((1, block), sk2, _U32),
-        jnp.zeros_like(counts), counts)
-    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
-    (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
-    # u_ground is shared by the packet AND dropzone respawns (key quirk).
-    u_ground, u_air = _uniform_cells_pair(rk1, rk2, ak1, ak2, c)
+    def constant_fill_spawn(self, ground, u, code, count):
+        """k rounds with one constant non-zero fill (the reset spawns)."""
+        scores = self.sentinel(u, ground == 0)
+        for _ in range(count):
+            chosen = self.cell == self.argmax_lowest(scores)
+            ground = jnp.where(chosen, float(code), ground)
+            scores = jnp.where(chosen, self.neg_inf, scores)
+        return ground
 
-    orig_ground = ground_ref[:].astype(jnp.float32)     # (C, B)
-    air_x = ax_ref[:]                                    # (N, B)
-    air_y = ay_ref[:]
-    orig_carrying = carry_ref[:] != 0
-    charge = charge_ref[:]
-    actions = act_ref[:]
+    def air_spawn(self, u, air_x, air_y, exclude_ground):
+        """place_in_air: candidates for -1-sentinel drones (transposed
+        occupancy quirk); returns updated (air_x, air_y)."""
+        g = self.g
+        occ_flat = self.wrap_clamp(air_x) * g + self.wrap_clamp(air_y)
+        occupied = self.cell == self.row(occ_flat, 0)
+        for i in range(1, self.n):
+            occupied = occupied | (self.cell == self.row(occ_flat, i))
+        open_cells = ~occupied & (
+            exclude_ground != Object.SKYSCRAPER.value)
+        scores = self.sentinel(u, open_cells)
+        cand_rows = []
+        for _ in range(self.n):
+            chosen_idx = self.argmax_lowest(scores)
+            cand_rows.append(chosen_idx)
+            scores = jnp.where(self.cell == chosen_idx, self.neg_inf, scores)
+        cand = jnp.concatenate(cand_rows, axis=0)          # (N, B)
+        new_x = jnp.where(air_x == -1, cand // g, air_x)
+        new_y = jnp.where(air_y == -1, cand % g, air_y)
+        return new_x, new_y
 
-    # --- move ----------------------------------------------------------------
+
+def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
+                         orig_ground, air_x, air_y, orig_carrying, charge,
+                         actions):
+    """One env step + window observations on (rows, B) blocks.
+
+    Returns ``(ground, new_x, new_y, carrying, charge, rewards, dones,
+    obs_rows)`` where obs_rows is a list of collect·w·w·6 (1, B) f32 rows
+    in the flattened observation order.
+    """
+    params = ops.params
+    g, c, n = ops.g, ops.c, ops.n
+    row = ops.row
+    cell = ops.cell
+
+    # --- move ----------------------------------------------------------
     dy = jnp.where(actions == Action.UP.value, -1,
                    jnp.where(actions == Action.DOWN.value, 1, 0))
     dx = jnp.where(actions == Action.LEFT.value, -1,
@@ -215,15 +271,15 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     new_y = air_y + dy
     new_x = air_x + dx
 
-    # --- crashes -----------------------------------------------------------
+    # --- crashes ---------------------------------------------------------
     off_board = (new_y < 0) | (new_y >= g) | (new_x < 0) | (new_x >= g)
     flat_in = jnp.clip(new_y, 0, g - 1) * g + jnp.clip(new_x, 0, g - 1)
-    flat_wc = wrap_clamp(new_y) * g + wrap_clamp(new_x)
+    flat_wc = ops.wrap_clamp(new_y) * g + ops.wrap_clamp(new_x)
     sky_rows = []
     tgt_rows = []
     for i in range(n):
-        sky_rows.append(point_read(orig_ground, row(flat_in, i)))
-        tgt_rows.append(point_read(orig_ground, row(flat_wc, i)))
+        sky_rows.append(ops.point_read(orig_ground, row(flat_in, i)))
+        tgt_rows.append(ops.point_read(orig_ground, row(flat_wc, i)))
     sky_cell = jnp.concatenate(sky_rows, axis=0)          # (N, B)
     target_cell = jnp.concatenate(tgt_rows, axis=0)
     hit_sky = (sky_cell == Object.SKYSCRAPER.value) & ~off_board
@@ -241,7 +297,7 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     hit_drone = jnp.concatenate(conflicts, axis=0) > 0
     collided = off_board | hit_sky | hit_drone
 
-    # --- battery ---------------------------------------------------------------
+    # --- battery ------------------------------------------------------------
     is_charging = (target_cell == Object.STATION.value) & ~collided
     is_discharging = ~is_charging & ~collided
     charge = jnp.clip(charge + is_charging * params.charge, 0, 100)
@@ -250,76 +306,78 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     survivors = ~dones
     charge = jnp.where(dones, 100.0, charge)
 
-    # --- pickup / delivery ------------------------------------------------------
+    # --- pickup / delivery ---------------------------------------------------
     picked_up = (
         (target_cell == Object.PACKET.value) & survivors & ~orig_carrying)
-    lifted = last_writer_mask(new_y, new_x, picked_up)
+    lifted = ops.last_writer_mask(new_y, new_x, picked_up)
     ground = jnp.where(lifted, 0.0, orig_ground)
     carrying = (orig_carrying & survivors) | picked_up
     at_dropzone = (target_cell == Object.DROPZONE.value) & survivors
     delivered = at_dropzone & orig_carrying
     carrying = carrying & ~delivered
 
-    # --- packet + dropzone respawns (shared uniform field — key quirk) ----------
+    # --- packet + dropzone respawns (shared uniform field — key quirk) --------
     needs_packet = delivered | (dones & orig_carrying)
     fills_p = [
         row(needs_packet, s) * float(Object.PACKET.value) for s in range(n)]
-    ground = ground_respawn(ground, u_ground, fills_p)
-    consumed = last_writer_mask(new_y, new_x, delivered)
+    ground = ops.ground_respawn(ground, u_ground, fills_p)
+    consumed = ops.last_writer_mask(new_y, new_x, delivered)
     ground = jnp.where(consumed, 0.0, ground)
     fills_d = [
         row(delivered, s) * float(Object.DROPZONE.value) for s in range(n)]
-    ground = ground_respawn(ground, u_ground, fills_d)
+    ground = ops.ground_respawn(ground, u_ground, fills_d)
 
-    # --- rewards ------------------------------------------------------------------
+    # --- rewards ----------------------------------------------------------------
     rewards = (params.crash_reward * dones
                + params.pickup_reward * picked_up
                + params.delivery_reward * delivered
                + params.charge_reward * is_charging).astype(jnp.float32)
 
-    # --- respawn dead drones (occupancy marked transposed; -1 wraps) -------------
+    # --- respawn dead drones (occupancy marked transposed; -1 wraps) -----------
     new_x = jnp.where(dones, -1, new_x)
     new_y = jnp.where(dones, -1, new_y)
-    occ_flat = wrap_clamp(new_x) * g + wrap_clamp(new_y)
-    occupied = cell == row(occ_flat, 0)
-    for i in range(1, n):
-        occupied = occupied | (cell == row(occ_flat, i))
-    open_cells = ~occupied & (orig_ground != Object.SKYSCRAPER.value)
-    scores_a = sentinel(u_air, open_cells)
-    cand_rows = []
-    for i in range(n):
-        chosen_idx = argmax_lowest(scores_a)
-        cand_rows.append(chosen_idx)
-        scores_a = jnp.where(cell == chosen_idx, neg_inf, scores_a)
-    cand = jnp.concatenate(cand_rows, axis=0)              # (N, B)
-    new_x = jnp.where(new_x == -1, cand // g, new_x)
-    new_y = jnp.where(new_y == -1, cand % g, new_y)
+    new_x, new_y = ops.air_spawn(u_air, new_x, new_y, orig_ground)
 
-    # --- respawned drones auto-pickup (transposed [x, y] quirk) -------------------
+    # --- respawned drones auto-pickup (transposed [x, y] quirk) -----------------
     packet_here = (ground == Object.PACKET.value).astype(jnp.float32)
-    flat_t = wrap_clamp(new_x) * g + wrap_clamp(new_y)
-    rp_rows = [point_read(packet_here, row(flat_t, i)) for i in range(n)]
+    flat_t = ops.wrap_clamp(new_x) * g + ops.wrap_clamp(new_y)
+    rp_rows = [ops.point_read(packet_here, row(flat_t, i)) for i in range(n)]
     respawn_pickup = (jnp.concatenate(rp_rows, axis=0) > 0) & dones
     carrying = carrying | respawn_pickup
-    lifted2 = last_writer_mask(new_x, new_y, respawn_pickup)
+    lifted2 = ops.last_writer_mask(new_x, new_y, respawn_pickup)
     ground = jnp.where(lifted2, 0.0, ground)
 
-    # --- observation encoder (core._observe_window, fused) ------------------------
+    obs_rows = _encode_obs(ops, collect, ground, new_x, new_y, carrying,
+                           charge)
+    return ground, new_x, new_y, carrying, charge, rewards, dones, obs_rows
+
+
+def _encode_obs(ops: _GridOps, collect: int, ground, air_x, air_y, carrying,
+                charge):
+    """core._observe_window fused: collect·w·w·6 rows of (1, B) f32."""
+    params = ops.params
+    g, n = ops.g, ops.n
+    r = params.window_radius
+    w = 2 * r + 1
+    row = ops.row
+    cell = ops.cell
+
     # Per-cell charge field: drones sit on distinct cells; charge + 1 marks
     # presence (reference: jax_impl/env/env.py:282-283).
-    charge_cells = jnp.where(cell == row(new_y, 0) * g + row(new_x, 0),
+    charge_cells = jnp.where(cell == row(air_y, 0) * g + row(air_x, 0),
                              row(charge, 0) + 1.0, 0.0)
     for i in range(1, n):
         charge_cells = jnp.where(
-            cell == row(new_y, i) * g + row(new_x, i),
+            cell == row(air_y, i) * g + row(air_x, i),
             row(charge, i) + 1.0, charge_cells)
     # Pack ground code and per-cell charge into one field (code·128 + chg,
     # both small non-negative integers) so every window position costs a
     # single point-read over the cell axis instead of two.
     packed = ground * 128.0 + charge_cells
+    obs_rows = []
     for i in range(collect):
-        cy = row(new_y, i)
-        cx = row(new_x, i)
+        cy = row(air_y, i)
+        cx = row(air_x, i)
         carrying_i = row(carrying, i)
         for p in range(w * w):
             dy_p = p // w - r
@@ -328,25 +386,110 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
             wx = cx + dx_p
             inside = (wy >= 0) & (wy < g) & (wx >= 0) & (wx < g)
             flat = jnp.clip(wy, 0, g - 1) * g + jnp.clip(wx, 0, g - 1)
-            val = point_read(packed, flat)
+            val = ops.point_read(packed, flat)
             code = jnp.floor(val * (1.0 / 128.0))
             chg = val - code * 128.0
             code = jnp.where(inside, code, float(Object.SKYSCRAPER.value))
             chg = jnp.where(inside, chg, 0.0)
-            base = (i * w * w + p) * NUM_OBS_CHANNELS
             is_packet = code == Object.PACKET.value
             if dy_p == 0 and dx_p == 0:
                 is_packet = is_packet | carrying_i
-            out_obs[base + 0 : base + 1, :] = (chg > 0).astype(jnp.float32)
-            out_obs[base + 1 : base + 2, :] = is_packet.astype(jnp.float32)
-            out_obs[base + 2 : base + 3, :] = (
-                code == Object.DROPZONE.value).astype(jnp.float32)
-            out_obs[base + 3 : base + 4, :] = (
-                code == Object.STATION.value).astype(jnp.float32)
-            out_obs[base + 4 : base + 5, :] = (
-                jnp.clip(chg - 1.0, 0, 100) / 100.0)
-            out_obs[base + 5 : base + 6, :] = (
-                code == Object.SKYSCRAPER.value).astype(jnp.float32)
+            obs_rows.extend([
+                (chg > 0).astype(jnp.float32),
+                is_packet.astype(jnp.float32),
+                (code == Object.DROPZONE.value).astype(jnp.float32),
+                (code == Object.STATION.value).astype(jnp.float32),
+                jnp.clip(chg - 1.0, 0, 100) / 100.0,
+                (code == Object.SKYSCRAPER.value).astype(jnp.float32),
+            ])
+    return obs_rows
+
+
+def _reset_envs(ops: _GridOps, rk1, rk2):
+    """core.reset for every lane, given per-env reset keys (1, B) words.
+
+    Matches core.reset's key-consumption order exactly: four chained
+    splits for the ground spawns, one more for the air spawn.
+    """
+    params = ops.params
+    g, c, n = ops.g, ops.c, ops.n
+    block = ops.block
+    k1, k2 = rk1, rk2
+    placement_pairs = []
+    for _ in range(5):
+        (k1, k2), (p1, p2) = _split_rows_wide(k1, k2)
+        placement_pairs.append((p1, p2))
+    us = _uniform_cells_multi(placement_pairs, c)
+
+    ground = jnp.zeros((c, 1), jnp.float32) * jnp.zeros((1, block), jnp.float32)
+    for (count, code), u in zip(
+        ((params.num_packets, Object.PACKET.value),
+         (params.num_dropzones, Object.DROPZONE.value),
+         (params.num_stations, Object.STATION.value),
+         (params.num_skyscrapers, Object.SKYSCRAPER.value)),
+        us[:4],
+    ):
+        ground = ops.constant_fill_spawn(ground, u, code, count)
+
+    sentinel_coords = jnp.full((n, block), -1, jnp.int32)
+    air_x, air_y = ops.air_spawn(
+        us[4], sentinel_coords, sentinel_coords, ground)
+
+    # auto-pickup without reward ([y, x] — NOT transposed at reset)
+    flat = ops.row(air_y, 0) * g + ops.row(air_x, 0)
+    carrying_rows = [ops.point_read(ground, flat) == Object.PACKET.value]
+    for i in range(1, n):
+        flat = ops.row(air_y, i) * g + ops.row(air_x, i)
+        carrying_rows.append(
+            ops.point_read(ground, flat) == Object.PACKET.value)
+    carrying = jnp.concatenate(
+        [cr.astype(jnp.float32) for cr in carrying_rows], axis=0) > 0
+    lifted = ops.last_writer_mask(air_y, air_x, carrying)
+    ground = jnp.where(lifted, 0.0, ground)
+    charge = jnp.full((n, block), 100.0, jnp.float32)
+    return ground, air_x, air_y, carrying, charge
+
+
+def _split_rows_wide(k1, k2):
+    """_split_rows for (1, B) per-lane DISTINCT keys (reset chains)."""
+    zeros = jnp.zeros_like(k1)
+    counts0 = zeros
+    counts1 = jnp.ones_like(k1)
+    b1, b2 = threefry2x32(
+        jnp.concatenate([k1, k1], axis=0),
+        jnp.concatenate([k2, k2], axis=0),
+        jnp.concatenate([counts0, counts0], axis=0).astype(_U32),
+        jnp.concatenate([counts0, counts1], axis=0).astype(_U32))
+    return (b1[:1], b2[:1]), (b1[1:], b2[1:])
+
+
+def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
+                 act_ref, out_ground, out_ax, out_ay, out_carry, out_charge,
+                 out_rew, out_done, out_obs, *, params: EnvParams,
+                 collect: int, block: int):
+    ops = _GridOps(params, block)
+    c = params.num_cells
+
+    # --- per-env PRNG keys: rows of jax.random.split(step_key, E) --------
+    env0 = pl.program_id(0) * block
+    counts = (env0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)).astype(
+        _U32)
+    sk1 = key_ref[0].astype(_U32)
+    sk2 = key_ref[1].astype(_U32)
+    ek1, ek2 = threefry2x32(
+        jnp.full((1, block), sk1, _U32), jnp.full((1, block), sk2, _U32),
+        jnp.zeros_like(counts), counts)
+    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
+    (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
+    # u_ground is shared by the packet AND dropzone respawns (key quirk).
+    u_ground, u_air = _uniform_cells_multi(
+        [(rk1, rk2), (ak1, ak2)], c)
+
+    results = _physics_and_observe(
+        ops, collect, u_ground, u_air,
+        ground_ref[:].astype(jnp.float32),
+        ax_ref[:], ay_ref[:], carry_ref[:] != 0, charge_ref[:], act_ref[:])
+    ground, new_x, new_y, carrying, charge, rewards, dones, obs_rows = results
 
     out_ground[:] = ground.astype(jnp.int8)
     out_ax[:] = new_x
@@ -355,11 +498,132 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     out_charge[:] = charge
     out_rew[:] = rewards
     out_done[:] = dones.astype(jnp.int8)
+    for idx, value in enumerate(obs_rows):
+        out_obs[idx : idx + 1, :] = value
 
 
-def _block_for(num_envs: int) -> int:
-    for b in (_LANE_BLOCK, 512, 256, 128):
-        if num_envs % b == 0 and num_envs >= b:
+def _q_forward(obs, weight_refs):
+    """Dense Q forward on a (D, B) block → (A, B). weight_refs: list of
+    (kernel_ref (in,out), bias_ref (out,1)) pairs, flax parameter layout."""
+    x = obs
+    n_layers = len(weight_refs)
+    for idx, (w_ref, b_ref) in enumerate(weight_refs):
+        x = jax.lax.dot_general(
+            w_ref[:], x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x = x + b_ref[:]
+        if idx < n_layers - 1:
+            x = jnp.maximum(x, 0.0)
+    return x
+
+
+def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
+                 charge_ref, eps_ref, *rest, params: EnvParams, collect: int,
+                 block: int, num_envs: int, n_layers: int):
+    # rest = [W_0, b_0, ..., W_{L-1}, b_{L-1},
+    #         out_ground, out_ax, out_ay, out_carry, out_charge,
+    #         out_rew, out_done, out_actions, out_obs]
+    weight_refs = [
+        (rest[2 * i], rest[2 * i + 1]) for i in range(n_layers)]
+    (out_ground, out_ax, out_ay, out_carry, out_charge, out_rew, out_done,
+     out_actions, out_obs) = rest[2 * n_layers :]
+
+    ops = _GridOps(params, block)
+    c = params.num_cells
+    n = params.n_drones
+    obs_dim = params.obs_shape[0] * params.obs_shape[1] * NUM_OBS_CHANNELS
+
+    env0 = pl.program_id(0) * block
+    lane_counts = (
+        env0 + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)).astype(_U32)
+    sk1 = sp_ref[0].astype(_U32)
+    sk2 = sp_ref[1].astype(_U32)
+    sk1_b = jnp.full((1, block), sk1, _U32)
+    sk2_b = jnp.full((1, block), sk2, _U32)
+    ek1, ek2 = threefry2x32(
+        sk1_b, sk2_b, jnp.zeros_like(lane_counts), lane_counts)
+    # rows E (actor) and E+1 (reset base) of split(step_key, E + 2)
+    extra_counts = (
+        jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0) + num_envs
+    ).astype(_U32)
+    x1, x2 = threefry2x32(
+        jnp.full((2, 1), sk1, _U32), jnp.full((2, 1), sk2, _U32),
+        jnp.zeros_like(extra_counts), extra_counts)
+    actor_k = (x1[0:1], x2[0:1])
+    reset_base = (x1[1:2], x2[1:2])
+
+    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
+    (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
+    u_ground, u_air = _uniform_cells_multi([(rk1, rk2), (ak1, ak2)], c)
+
+    # --- in-kernel ε-greedy actor + random opponents ----------------------
+    # (N+1, B) uniforms from the actor key: row 0 gates exploration, rows
+    # 1..N are per-drone random actions floor(u * A).
+    act_counts = (
+        jax.lax.broadcasted_iota(jnp.int32, (n + 1, block), 0) * num_envs
+        + env0
+        + jax.lax.broadcasted_iota(jnp.int32, (n + 1, block), 1)
+    ).astype(_U32)
+    ab1, ab2 = threefry2x32(
+        actor_k[0], actor_k[1], jnp.zeros_like(act_counts), act_counts)
+    u_act = _bits_to_unit_float(ab1 ^ ab2)
+    rand_actions = jnp.floor(u_act[1:] * float(NUM_ACTIONS)).astype(jnp.int32)
+    rand_actions = jnp.clip(rand_actions, 0, NUM_ACTIONS - 1)
+
+    q = _q_forward(obs_in_ref[0:obs_dim, :], weight_refs)     # (A, B)
+    best = jnp.max(q, axis=0, keepdims=True)
+    arow = jax.lax.broadcasted_iota(jnp.int32, (NUM_ACTIONS, 1), 0)
+    greedy = jnp.min(
+        jnp.where(q == best, arow, NUM_ACTIONS), axis=0, keepdims=True)
+    epsilon = eps_ref[0, 0]
+    explore = u_act[0:1] < epsilon
+    a0 = jnp.where(explore, rand_actions[0:1], greedy)
+    actions = jnp.concatenate([a0, rand_actions[1:]], axis=0)  # (N, B)
+
+    results = _physics_and_observe(
+        ops, collect, u_ground, u_air,
+        ground_ref[:].astype(jnp.float32),
+        ax_ref[:], ay_ref[:], carry_ref[:] != 0, charge_ref[:], actions)
+    ground, new_x, new_y, carrying, charge, rewards, dones, obs_rows = results
+
+    out_rew[:] = rewards
+    out_done[:] = dones.astype(jnp.int8)
+    out_actions[:] = actions
+
+    do_reset = sp_ref[5] != 0
+
+    @pl.when(jnp.logical_not(do_reset))
+    def _():
+        out_ground[:] = ground.astype(jnp.int8)
+        out_ax[:] = new_x
+        out_ay[:] = new_y
+        out_carry[:] = carrying.astype(jnp.int8)
+        out_charge[:] = charge
+        for idx, value in enumerate(obs_rows):
+            out_obs[idx : idx + 1, :] = value
+
+    @pl.when(do_reset)
+    def _():
+        # per-env reset keys: rows of split(reset_base, E)
+        rb1, rb2 = threefry2x32(
+            jnp.broadcast_to(reset_base[0], (1, block)),
+            jnp.broadcast_to(reset_base[1], (1, block)),
+            jnp.zeros_like(lane_counts), lane_counts)
+        f_ground, f_x, f_y, f_carry, f_charge = _reset_envs(ops, rb1, rb2)
+        fresh_obs = _encode_obs(
+            ops, collect, f_ground, f_x, f_y, f_carry, f_charge)
+        out_ground[:] = f_ground.astype(jnp.int8)
+        out_ax[:] = f_x
+        out_ay[:] = f_y
+        out_carry[:] = f_carry.astype(jnp.int8)
+        out_charge[:] = f_charge
+        for idx, value in enumerate(fresh_obs):
+            out_obs[idx : idx + 1, :] = value
+
+
+def _block_for(num_envs: int, max_block: int = _LANE_BLOCK) -> int:
+    for b in (max_block, 512, 256, 128):
+        if b <= max_block and num_envs % b == 0 and num_envs >= b:
             return b
     return num_envs
 
@@ -446,4 +710,119 @@ def tick_fused(
         rewards,
         dones != 0,
         obs_t,
+    )
+
+
+def _flatten_dense_params(net_params) -> Tuple[list, int]:
+    """flax dense param pytree → [W0, b0(out,1), W1, b1, ...], n_layers."""
+    layers = net_params["params"]
+    n_layers = len(layers)
+    flat = []
+    for idx in range(n_layers):
+        layer = layers[f"Dense_{idx}"]
+        flat.append(layer["kernel"].astype(jnp.float32))
+        flat.append(layer["bias"].astype(jnp.float32)[:, None])
+    return flat, n_layers
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "collect", "interpret"))
+def full_tick_fused(
+    step_key: jax.Array,
+    tstate: TState,
+    obs_t: jax.Array,
+    net_params,
+    epsilon: jax.Array,
+    do_reset: jax.Array,
+    params: EnvParams,
+    collect: int = 1,
+    interpret: bool = False,
+):
+    """The whole env side of a training tick in one dispatch.
+
+    In-kernel: ε-greedy actor (dense nets), random opponents, step
+    physics, respawns, observation encoding, and — when ``do_reset`` —
+    a full env reset (``core.reset_batch(S[E+1], params, E)``) replacing
+    the stepped state and observations.
+
+    Returns ``(tstate', rewards (N, E), dones (N, E) bool,
+    actions (N, E) int32, obs_t' (collect·w·w·6, E))``.
+    """
+    c = params.num_cells
+    n = params.n_drones
+    num_envs = tstate.ground.shape[1]
+    obs_rows = collect * params.obs_shape[0] * params.obs_shape[1] * (
+        NUM_OBS_CHANNELS)
+    # The predicated reset branch adds ~5 uniform fields + a second obs
+    # encoding to the kernel's live set; halve the lane block to stay
+    # under the 16MB scoped-VMEM limit.
+    block = _block_for(num_envs, max_block=512)
+    grid = (num_envs // block,)
+    flat_params, n_layers = _flatten_dense_params(net_params)
+
+    kernel = functools.partial(
+        _full_kernel, params=params, collect=collect, block=block,
+        num_envs=num_envs, n_layers=n_layers)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block), lambda i, _sp: (0, i), memory_space=pltpu.VMEM)
+
+    def wspec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i, _sp: (0, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[spec(obs_rows), spec(c), spec(n), spec(n), spec(n),
+                  spec(n),
+                  pl.BlockSpec((1, 1), lambda i, _sp: (0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [wspec(a) for a in flat_params],
+        out_specs=(
+            spec(c), spec(n), spec(n), spec(n), spec(n), spec(n), spec(n),
+            spec(n), spec(obs_rows),
+        ),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((obs_rows, num_envs), jnp.float32),
+    )
+    key_u32 = step_key.astype(jnp.uint32)
+    sp = jnp.stack([
+        jax.lax.bitcast_convert_type(key_u32[0], jnp.int32),
+        jax.lax.bitcast_convert_type(key_u32[1], jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        do_reset.astype(jnp.int32),
+    ])
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        sp,
+        obs_t, tstate.ground, tstate.air_x, tstate.air_y, tstate.carrying,
+        tstate.charge,
+        epsilon.astype(jnp.float32).reshape(1, 1), *flat_params,
+    )
+    (ground, air_x, air_y, carrying, charge, rewards, dones, actions,
+     obs_next) = outs
+    return (
+        TState(ground, air_x, air_y, carrying, charge),
+        rewards,
+        dones != 0,
+        actions,
+        obs_next,
     )

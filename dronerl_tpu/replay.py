@@ -240,8 +240,13 @@ class StreamReplay:
         return push_many_t(state, batch, self.capacity, aligned=True)
 
     def sample(self, key: jax.Array, state: ReplayState) -> Any:
-        """Uniform with-replacement over slots with a stored successor."""
-        valid = state.size - self.stride
+        """Uniform with-replacement over slots with a stored successor.
+
+        Safe to call on a cold buffer (clamped index range) — callers gate
+        the USE of the sample on :meth:`can_sample`, which lets them keep
+        the gather outside their cond.
+        """
+        valid = jnp.maximum(state.size - self.stride, 1)
         raw = jax.random.randint(
             key, (self.batch_size,), minval=0, maxval=valid)
         # When full, the oldest slot sits at the cursor; otherwise slot 0.

@@ -279,6 +279,75 @@ def build_train_step_fused(
     return tick
 
 
+def build_train_step_full(
+    agent: DQN,
+    buffer: replay.StreamReplay,
+    env_params: EnvParams,
+    num_envs: int,
+    collect_drones: int,
+    reset_env_every: int,
+    interpret: bool = False,
+):
+    """Scan body around the all-in-one kernel (ops/fused_tick.full_tick_fused).
+
+    The env side of the tick — ε-greedy actor, random opponents, physics,
+    respawns, observations AND the periodic reset — is ONE kernel
+    dispatch; outside remain only the replay ring writes and the TD
+    update. The RNG contract is documented on full_tick_fused (trainer-
+    level streams are not parity-locked).
+    """
+    from dronerl_tpu.ops import fused_tick
+
+    obs_dim = agent.obs_dim
+    k = collect_drones
+
+    def tick(carry, _):
+        rng, tstate, obs_t, ag_state, bstate, step = carry
+        rng, step_key, sample_key = jax.random.split(rng, 3)
+
+        tstate, rewards_t, dones_t, actions_t, next_obs_t = (
+            fused_tick.full_tick_fused(
+                step_key, tstate, obs_t, ag_state.params, ag_state.epsilon,
+                step % reset_env_every == 0, env_params, k, interpret))
+
+        exps = {
+            "obs": jnp.concatenate(
+                [obs_t[i * obs_dim : (i + 1) * obs_dim] for i in range(k)],
+                axis=1) if k > 1 else obs_t,
+            "actions": actions_t[:k].reshape(-1),
+            "rewards": rewards_t[:k].reshape(-1),
+            "dones": dones_t[:k].reshape(-1),
+        }
+        bstate = buffer.push_many(bstate, exps)
+
+        # Sample OUTSIDE the cond so the cond never captures the ring
+        # buffers (conds can force copies of captured operands).
+        batch = buffer.sample(sample_key, bstate)
+        batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+
+        def do_train(operand):
+            ag, b = operand
+            return agent.train_step_t(ag, b)
+
+        ag_state, loss = jax.lax.cond(
+            buffer.can_sample(bstate),
+            do_train,
+            lambda operand: (operand[0], 0.0),
+            (ag_state, batch),
+        )
+        ag_state = jax.lax.cond(
+            step % agent.config.target_update_interval == 0,
+            agent.update_target, lambda s: s, ag_state)
+        ag_state = jax.lax.cond(
+            agent.should_decay_epsilon(step, dones_t[0, 0]),
+            agent.decay_epsilon, lambda s: s, ag_state)
+
+        carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
+        return carry, (rewards_t[0], ag_state.epsilon)
+
+    return tick
+
+
 def fused_engine_supported(agent: DQN, env_params: EnvParams,
                            num_envs: int) -> bool:
     """Fused Pallas engine availability for this config + backend."""
@@ -439,7 +508,7 @@ def train(args) -> dict:
             bstate = buffer.init(
                 {key: template[key] for key in
                  ("obs", "actions", "rewards", "dones")})
-            tick = build_train_step_fused(
+            tick = build_train_step_full(
                 agent, buffer, env_params, args.num_envs,
                 args.collect_drones, args.reset_env_every)
             state0 = fused_tick.to_tstate(env_states)

@@ -222,3 +222,62 @@ def test_fused_trainer_tick_smoke_interpret():
     assert rewards.shape == (num_envs,)
     assert np.isfinite(np.asarray(rewards)).all()
     assert float(eps) < 1.0  # ε decayed at least once
+
+
+def test_full_tick_fused_matches_jnp_mirror():
+    """The all-in-one kernel (actor + step + obs + periodic reset) against
+    a jnp mirror of its documented RNG contract."""
+    from dronerl_tpu.constants import NUM_ACTIONS
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    agent = DQN(DQNConfig(hidden_layers=(16, 16)), params)
+    rng = jax.random.PRNGKey(0)
+    ag = agent.init_state(rng)
+    states = env_core.reset_batch(rng, params, E)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, params, 1).reshape(
+        E, agent.obs_dim).T
+    eps = jnp.float32(0.7)
+
+    for t in range(8):
+        rng, skey = jax.random.split(rng)
+        do_reset = jnp.array(t == 4)  # exercise the in-kernel reset once
+        tstate2, rew_t, dn_t, actions_t, obs_next = (
+            fused_tick.full_tick_fused(
+                skey, tstate, obs_t, ag.params, eps, do_reset, params, 1,
+                interpret=True))
+
+        S = jax.random.split(skey, E + 2)
+        u_act = jax.random.uniform(S[E], (params.n_drones + 1, E))
+        rand = jnp.clip(
+            jnp.floor(u_act[1:] * NUM_ACTIONS).astype(jnp.int32),
+            0, NUM_ACTIONS - 1)
+        greedy = jnp.argmax(
+            agent.q_values_t(ag.params, obs_t), axis=0).astype(jnp.int32)
+        a0 = jnp.where(u_act[0] < eps, rand[0], greedy)
+        exp_actions = jnp.concatenate([a0[None], rand[1:]], axis=0)
+        assert (np.asarray(actions_t) == np.asarray(exp_actions)).all(), t
+
+        st_ref, rew_ref, dn_ref = env_core.step_batch(
+            S[:E], states, np.asarray(exp_actions).T, params)
+        assert (np.asarray(rew_ref) == np.asarray(rew_t).T).all(), t
+        assert (np.asarray(dn_ref) == np.asarray(dn_t).T).all(), t
+
+        exp_state = (
+            env_core.reset_batch(S[E + 1], params, E)
+            if bool(do_reset) else st_ref)
+        back = fused_tick.from_tstate(tstate2, params)
+        for f in ("ground", "air_x", "air_y", "carrying_package", "charge"):
+            assert (np.asarray(getattr(exp_state, f))
+                    == np.asarray(getattr(back, f))).all(), (t, f)
+
+        exp_obs = np.asarray(env_core.observe_batch(
+            exp_state, params, 1).reshape(E, -1)).reshape(E, -1, 6)
+        ours = np.asarray(obs_next).T.reshape(E, -1, 6)
+        ch = np.arange(6) != 4
+        assert (exp_obs[..., ch] == ours[..., ch]).all(), t
+        np.testing.assert_allclose(
+            exp_obs[..., 4], ours[..., 4], atol=1.3e-7, rtol=0)
+
+        states, tstate, obs_t = exp_state, tstate2, obs_next
