@@ -23,12 +23,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
-from dronerl_tpu.env import core as env_core
 from dronerl_tpu.env.types import EnvParams
-from dronerl_tpu.ops import fused_tick
-from dronerl_tpu.train import build_train_step_full, setup_compilation_cache
+from dronerl_tpu.train import (
+    build_train_step_ring, init_ring_carry, setup_compilation_cache)
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
 NUM_ENVS = 32768
@@ -45,29 +43,16 @@ def main():
     agent = DQN(config, env_params)
     # capacity rounded to the push size → contiguous replay writes
     capacity = max(-(-100_000 // NUM_ENVS) * NUM_ENVS, 2 * NUM_ENVS)
-    buffer = replay.StreamReplay(
-        capacity=capacity, batch_size=8, stride=NUM_ENVS)
 
     rng = jax.random.PRNGKey(0)
-    env_states = env_core.reset_batch(rng, env_params, NUM_ENVS)
-    ag_state = agent.init_state(rng)
-    tstate = fused_tick.to_tstate(env_states)
-    obs_t = env_core.observe_batch(env_states, env_params, 1).reshape(
-        NUM_ENVS, agent.obs_dim).T
-    template = {
-        "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
-        "actions": jnp.array(0, jnp.int32),
-        "rewards": jnp.array(0.0, jnp.float32),
-        "dones": jnp.array(False, jnp.bool_),
-    }
-    bstate = buffer.init(template)
-    tick = build_train_step_full(agent, buffer, env_params, NUM_ENVS, 1, 100)
+    tick = build_train_step_ring(
+        agent, env_params, NUM_ENVS, capacity, batch_size=8,
+        reset_env_every=100)
+    carry = init_ring_carry(agent, env_params, NUM_ENVS, capacity, rng)
 
     @jax.jit
     def run(carry, dummy):
         return jax.lax.scan(tick, carry, dummy)
-
-    carry = (rng, tstate, obs_t, ag_state, bstate, jnp.array(0))
     # Warm up with the same scan length so compilation and buffer fill are
     # excluded from the timed region.
     dummy = jnp.zeros((TIMED_STEPS,))

@@ -826,3 +826,117 @@ def full_tick_fused(
         actions,
         obs_next,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "collect", "interpret"))
+def full_tick_fused_ring(
+    step_key: jax.Array,
+    tstate: TState,
+    obs_ring: jax.Array,
+    read_slot: jax.Array,
+    write_slot: jax.Array,
+    net_params,
+    epsilon: jax.Array,
+    do_reset: jax.Array,
+    params: EnvParams,
+    collect: int = 1,
+    interpret: bool = False,
+):
+    """:func:`full_tick_fused` writing observations straight into the
+    replay ring.
+
+    ``obs_ring`` is the (obs_rows, capacity) replay storage; the kernel
+    reads this tick's input observation from the lane slice starting at
+    ``read_slot`` and writes the next observation at ``write_slot``
+    (both multiples of num_envs; the buffer is aliased in/out so nothing
+    is copied). Returns ``(tstate', rewards, dones, actions, obs_ring')``.
+    """
+    c = params.num_cells
+    n = params.n_drones
+    num_envs = tstate.ground.shape[1]
+    obs_rows = collect * params.obs_shape[0] * params.obs_shape[1] * (
+        NUM_OBS_CHANNELS)
+    capacity = obs_ring.shape[1]
+    block = _block_for(num_envs, max_block=512)
+    grid = (num_envs // block,)
+    flat_params, n_layers = _flatten_dense_params(net_params)
+
+    kernel = functools.partial(
+        _full_kernel, params=params, collect=collect, block=block,
+        num_envs=num_envs, n_layers=n_layers)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block), lambda i, _sp: (0, i), memory_space=pltpu.VMEM)
+
+    def wspec(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda i, _sp: (0, 0), memory_space=pltpu.VMEM)
+
+    # The ring's lane-block offsets ride the scalar-prefetch args: sp[2]
+    # is the read block, sp[3] the write block (in lane-block units).
+    ring_in_spec = pl.BlockSpec(
+        (obs_rows, block), lambda i, sp: (0, sp[2] + i),
+        memory_space=pltpu.VMEM)
+    ring_out_spec = pl.BlockSpec(
+        (obs_rows, block), lambda i, sp: (0, sp[3] + i),
+        memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[ring_in_spec, spec(c), spec(n), spec(n), spec(n),
+                  spec(n),
+                  pl.BlockSpec((1, 1), lambda i, _sp: (0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [wspec(a) for a in flat_params],
+        out_specs=(
+            spec(c), spec(n), spec(n), spec(n), spec(n), spec(n), spec(n),
+            spec(n), ring_out_spec,
+        ),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
+        jax.ShapeDtypeStruct((obs_rows, capacity), jnp.float32),
+    )
+    key_u32 = step_key.astype(jnp.uint32)
+    sp = jnp.stack([
+        jax.lax.bitcast_convert_type(key_u32[0], jnp.int32),
+        jax.lax.bitcast_convert_type(key_u32[1], jnp.int32),
+        (read_slot // block).astype(jnp.int32),
+        (write_slot // block).astype(jnp.int32),
+        jnp.int32(0),
+        do_reset.astype(jnp.int32),
+    ])
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        # The ring is donated: input 1 (after the scalar-prefetch arg)
+        # becomes output 8. Unvisited blocks keep their contents.
+        input_output_aliases={1: 8},
+        interpret=interpret,
+    )(
+        sp,
+        obs_ring, tstate.ground, tstate.air_x, tstate.air_y,
+        tstate.carrying, tstate.charge,
+        epsilon.astype(jnp.float32).reshape(1, 1), *flat_params,
+    )
+    (ground, air_x, air_y, carrying, charge, rewards, dones, actions,
+     ring_out) = outs
+    return (
+        TState(ground, air_x, air_y, carrying, charge),
+        rewards,
+        dones != 0,
+        actions,
+        ring_out,
+    )

@@ -348,6 +348,115 @@ def build_train_step_full(
     return tick
 
 
+def build_train_step_ring(
+    agent: DQN,
+    env_params: EnvParams,
+    num_envs: int,
+    capacity: int,
+    batch_size: int,
+    reset_env_every: int,
+    interpret: bool = False,
+):
+    """Scan body where the replay ring IS the kernel's observation buffer.
+
+    The all-in-one kernel (fused_tick.full_tick_fused_ring) reads this
+    tick's observation from the ring slice written by the previous tick
+    and writes the next observation into the following slice — the
+    training loop never materializes, copies or pushes an observation
+    tensor. Only the tiny scalar rings (actions/rewards/dones) and the TD
+    update remain outside the kernel. collect_drones == 1 (the reference
+    trainer's default experience collection).
+
+    Carry: ``(rng, (tstate, obs_ring), (act_ring, rew_ring, done_ring),
+    ag_state, (), step)`` — the trainer-wide convention keeps the agent
+    state at position -3 and the step counter at -1. Seed the ring with
+    the initial observation at slot 0 before the first tick.
+    """
+    from dronerl_tpu.ops import fused_tick
+
+    if capacity % num_envs != 0 or capacity < 2 * num_envs:
+        raise ValueError("capacity must be a multiple of num_envs, >= 2x")
+    nb = capacity // num_envs  # ring length in steps
+
+    def tick(carry, _):
+        rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _u, step = (
+            carry)
+        rng, step_key, sample_key = jax.random.split(rng, 3)
+
+        read_slot = (step % nb) * num_envs
+        write_slot = ((step + 1) % nb) * num_envs
+        tstate, rewards_t, dones_t, actions_t, ring = (
+            fused_tick.full_tick_fused_ring(
+                step_key, tstate, ring, read_slot, write_slot,
+                ag_state.params, ag_state.epsilon,
+                step % reset_env_every == 0, env_params, 1, interpret))
+
+        # Scalars live at the same slot as this tick's input observation.
+        a_ring = jax.lax.dynamic_update_slice(
+            a_ring, actions_t[0], (read_slot,))
+        r_ring = jax.lax.dynamic_update_slice(
+            r_ring, rewards_t[0], (read_slot,))
+        d_ring = jax.lax.dynamic_update_slice(
+            d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+
+        # Complete tuples after tick t: steps [max(0, t+2-nb), t] — the
+        # newest ring write overwrote the oldest observation.
+        valid = jnp.minimum(step + 1, nb - 1) * num_envs
+        base_step = jnp.maximum(0, step + 2 - nb)
+        base_slot = (base_step % nb) * num_envs
+        raw = jax.random.randint(
+            sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+        phys = (base_slot + raw) % capacity
+        nxt = (phys + num_envs) % capacity
+        batch = {
+            "obs": jnp.take(ring, phys, axis=1),
+            "next_obs": jnp.take(ring, nxt, axis=1),
+            "actions": jnp.take(a_ring, phys, axis=0),
+            "rewards": jnp.take(r_ring, phys, axis=0),
+            "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
+        }
+
+        ag_state, loss = jax.lax.cond(
+            valid >= batch_size,
+            lambda op: agent.train_step_t(op[0], op[1]),
+            lambda op: (op[0], 0.0),
+            (ag_state, batch),
+        )
+        ag_state = jax.lax.cond(
+            step % agent.config.target_update_interval == 0,
+            agent.update_target, lambda s: s, ag_state)
+        ag_state = jax.lax.cond(
+            agent.should_decay_epsilon(step, dones_t[0, 0]),
+            agent.decay_epsilon, lambda s: s, ag_state)
+
+        carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
+                 ag_state, (), step + 1)
+        return carry, (rewards_t[0], ag_state.epsilon)
+
+    return tick
+
+
+def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
+                    capacity: int, rng: jax.Array):
+    """Initial carry for :func:`build_train_step_ring`."""
+    from dronerl_tpu.ops import fused_tick
+
+    env_states = env_core.reset_batch(rng, env_params, num_envs)
+    tstate = fused_tick.to_tstate(env_states)
+    obs0 = env_core.observe_batch(env_states, env_params, 1).reshape(
+        num_envs, agent.obs_dim).T
+    ring = jnp.zeros((agent.obs_dim, capacity), jnp.float32)
+    ring = jax.lax.dynamic_update_slice(ring, obs0, (0, 0))
+    ag_state = agent.init_state(rng)
+    return (
+        rng, (tstate, ring),
+        (jnp.zeros((capacity,), jnp.int32),
+         jnp.zeros((capacity,), jnp.float32),
+         jnp.zeros((capacity,), jnp.int8)),
+        ag_state, (), jnp.array(0),
+    )
+
+
 def fused_engine_supported(agent: DQN, env_params: EnvParams,
                            num_envs: int) -> bool:
     """Fused Pallas engine availability for this config + backend."""
@@ -498,8 +607,22 @@ def train(args) -> dict:
         use_fused = args.engine == "fused" or (
             args.engine == "auto"
             and fused_engine_supported(agent, env_params, args.num_envs))
-        logger.info("Engine: %s", "fused-pallas" if use_fused else "jnp")
+        engine_name = "jnp"
         if use_fused:
+            engine_name = (
+                "fused-pallas-ring" if args.collect_drones == 1
+                else "fused-pallas")
+        logger.info("Engine: %s", engine_name)
+        if use_fused and args.collect_drones == 1:
+            # Ring engine: the replay ring is the kernel's obs buffer.
+            ring_capacity = max(capacity, 2 * push_size)
+            tick = build_train_step_ring(
+                agent, env_params, args.num_envs, ring_capacity,
+                args.batch_size, args.reset_env_every)
+            carry = init_ring_carry(
+                agent, env_params, args.num_envs, ring_capacity, rng)
+            state0 = None
+        elif use_fused:
             from dronerl_tpu.ops import fused_tick
 
             buffer = replay.StreamReplay(
@@ -530,7 +653,8 @@ def train(args) -> dict:
         def run_chunk(carry, length_dummy):
             return jax.lax.scan(tick, carry, length_dummy)
 
-        carry = (rng, state0, obs0, ag_state, bstate, jnp.array(0))
+        if state0 is not None:
+            carry = (rng, state0, obs0, ag_state, bstate, jnp.array(0))
     if args.resume_from:
         from dronerl_tpu.interop import train_state_io
 

@@ -281,3 +281,34 @@ def test_full_tick_fused_matches_jnp_mirror():
             exp_obs[..., 4], ours[..., 4], atol=1.3e-7, rtol=0)
 
         states, tstate, obs_t = exp_state, tstate2, obs_next
+
+
+def test_ring_trainer_interpret():
+    """Ring engine under the interpreter: aliased ring writes preserve
+    unwritten blocks, bookkeeping stays in range, training tick runs."""
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    cap = 4 * E
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), params)
+    rng = jax.random.PRNGKey(0)
+    tick = build_train_step_ring(
+        agent, params, E, cap, batch_size=8, reset_env_every=100,
+        interpret=True)
+    carry = init_ring_carry(agent, params, E, cap, rng)
+    obs0 = np.asarray(carry[1][1][:, :E])
+    for t in range(3):
+        carry, (rew, eps) = tick(carry, None)
+        assert np.isfinite(np.asarray(rew)).all(), t
+    # after 3 ticks the ring holds obs_0..obs_3 in blocks 0..3; block 0
+    # must still be the seeded initial observation (alias preserved)
+    assert (np.asarray(carry[1][1][:, :E]) == obs0).all()
+    assert int(carry[-1]) == 3
+    assert float(eps) < 1.0
+    # learner params moved (training began on the warm ring)
+    p0 = jax.tree.leaves(
+        agent.init_state(rng).params)[0]
+    p1 = jax.tree.leaves(carry[-3].params)[0]
+    assert not (np.asarray(p0) == np.asarray(p1)).all()
