@@ -10,7 +10,7 @@ CLI surface mirrors the reference trainer (reference: train_jax.py:322-389)
 with additions: ``--collect_drones`` (learn from the first k drones of
 every env instead of only drone 0), ``--profile`` (dump a
 ``jax.profiler`` trace), ``--save_train_state`` / ``--resume_from``
-(full-state checkpointing) and ``--bf16_inference``.
+(full-state checkpointing) and ``--engine`` (fused-Pallas vs jnp).
 
 Run:  python -m dronerl_tpu.train --num_envs 1024 --num_steps 100000
 """
