@@ -7,7 +7,7 @@ Workload matches the reference README benchmark row "(16,16) dense DQN"
 definition (reference: train_jax.py:234-236).
 
 Baseline: 3,843 obs/s on TPU v3-8 (reference README.md:78, measured at
-num_envs=1). This benchmark runs the same loop at num_envs=32768 on one
+num_envs=1). This benchmark runs the same loop at num_envs=65536 on one
 chip through the fused-Pallas engine (the entire environment tick — PRNG,
 physics, respawns, window observations — is one kernel dispatch; see
 dronerl_tpu/ops/fused_tick.py). Scaling throughput with the env batch is
@@ -29,7 +29,7 @@ from dronerl_tpu.train import (
     build_train_step_ring, init_ring_carry, setup_compilation_cache)
 
 BASELINE_OBS_PER_SEC = 3843.0  # reference TPU v3-8, (16,16) dense
-NUM_ENVS = 65536
+NUM_ENVS = 131072
 TIMED_STEPS = 2000
 TIMED_REPEATS = 4
 
@@ -71,7 +71,7 @@ def main():
 
     obs_per_sec = NUM_ENVS * TIMED_STEPS * TIMED_REPEATS / elapsed
     print(json.dumps({
-        "metric": "train_obs_per_sec_dense16_65536envs",
+        "metric": "train_obs_per_sec_dense16_131072envs",
         "value": round(obs_per_sec, 1),
         "unit": "obs/s",
         "vs_baseline": round(obs_per_sec / BASELINE_OBS_PER_SEC, 2),

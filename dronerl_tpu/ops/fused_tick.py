@@ -727,7 +727,7 @@ def _flatten_dense_params(net_params) -> Tuple[list, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "collect", "interpret"))
+    static_argnames=("params", "collect", "interpret", "vma"))
 def full_tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -738,6 +738,7 @@ def full_tick_fused(
     params: EnvParams,
     collect: int = 1,
     interpret: bool = False,
+    vma: Tuple[str, ...] = (),
 ):
     """The whole env side of a training tick in one dispatch.
 
@@ -786,16 +787,17 @@ def full_tick_fused(
             spec(n), spec(obs_rows),
         ),
     )
+    kw = {"vma": frozenset(vma)} if vma else {}
     out_shapes = (
-        jax.ShapeDtypeStruct((c, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.float32),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
-        jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
-        jax.ShapeDtypeStruct((obs_rows, num_envs), jnp.float32),
+        jax.ShapeDtypeStruct((c, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.float32, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int8, **kw),
+        jax.ShapeDtypeStruct((n, num_envs), jnp.int32, **kw),
+        jax.ShapeDtypeStruct((obs_rows, num_envs), jnp.float32, **kw),
     )
     key_u32 = step_key.astype(jnp.uint32)
     sp = jnp.stack([

@@ -235,18 +235,15 @@ class DistributedTrainer:
             rng, tstate, obs_t, ag_state, bstate, step = carry
             local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             local = jax.random.fold_in(local, step)
-            rand_key, act_key, step_key, sample_key, reset_key = (
-                jax.random.split(local, 5))
+            step_key, sample_key = jax.random.split(local, 2)
 
-            actions_t = jax.random.randint(
-                rand_key, (env_params.n_drones, envs_per_shard),
-                0, NUM_ACTIONS)
-            dqn_actions = agent.act_t(act_key, obs_t[:obs_dim], ag_state)
-            actions_t = actions_t.at[0].set(dqn_actions)
-
-            tstate, rewards_t, dones_t, next_obs_t = fused_tick.tick_fused(
-                step_key, tstate, actions_t, env_params, k, interpret,
-                vma=(axis,))
+            # The all-in-one kernel: actor, opponents, physics, obs AND
+            # the periodic reset per shard — one dispatch.
+            tstate, rewards_t, dones_t, actions_t, next_obs_t = (
+                fused_tick.full_tick_fused(
+                    step_key, tstate, obs_t, ag_state.params,
+                    ag_state.epsilon, step % reset_env_every == 0,
+                    env_params, k, interpret, vma=(axis,)))
 
             exps = {
                 "obs": jnp.concatenate(
@@ -258,11 +255,13 @@ class DistributedTrainer:
             }
             bstate = buffer.push_many(bstate, exps)
 
+            # Sample outside the cond (no big captured operands).
+            batch = buffer.sample(sample_key, bstate)
+            batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
+
             def do_train(operand):
-                ag, bs, key = operand
-                batch = buffer.sample(key, bs)
-                batch = dict(batch, dones=batch["dones"].astype(jnp.float32))
-                return agent.train_step_t(ag, batch, axis_name=axis)
+                ag, b = operand
+                return agent.train_step_t(ag, b, axis_name=axis)
 
             def no_train(operand):
                 zero = jax.lax.pmean(0.0, axis)
@@ -271,7 +270,7 @@ class DistributedTrainer:
             ag_state, loss = jax.lax.cond(
                 buffer.can_sample(bstate),
                 do_train, no_train,
-                (ag_state, bstate, sample_key))
+                (ag_state, batch))
 
             ag_state = jax.lax.cond(
                 step % agent.config.target_update_interval == 0,
@@ -279,17 +278,6 @@ class DistributedTrainer:
             ag_state = jax.lax.cond(
                 agent.should_decay_epsilon(step, jnp.array(False)),
                 agent.decay_epsilon, lambda s: s, ag_state)
-
-            def fresh(rkey):
-                states = env_core.reset_batch(rkey, env_params, envs_per_shard)
-                o = env_core.observe_batch(states, env_params, k)
-                o = o.reshape(envs_per_shard, k * obs_dim).T
-                return ensure_varying(
-                    (fused_tick.to_tstate(states), o), axis)
-
-            tstate, next_obs_t = jax.lax.cond(
-                step % reset_env_every == 0,
-                fresh, lambda _: (tstate, next_obs_t), reset_key)
 
             rng = jax.random.fold_in(rng, 1)
             carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
