@@ -54,7 +54,7 @@ periodic reset uses ``core.reset_batch`` semantics with base key
 """
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

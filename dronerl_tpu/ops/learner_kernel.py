@@ -27,7 +27,6 @@ medium ops, not for a handful of tiny ones behind an alias boundary).
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,11 +28,11 @@ design.
 """
 
 from functools import partial
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN

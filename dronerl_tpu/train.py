@@ -24,7 +24,7 @@ import os
 import statistics
 from datetime import datetime
 from timeit import default_timer as timer
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
