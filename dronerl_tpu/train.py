@@ -607,15 +607,21 @@ def train(args) -> dict:
         use_fused = args.engine == "fused" or (
             args.engine == "auto"
             and fused_engine_supported(agent, env_params, args.num_envs))
+        # Ring engine only when the ring is small relative to the env
+        # batch: XLA copies the donated ring once per step to satisfy the
+        # sample gather (a second reader of a donated buffer), so a ring
+        # much larger than one step's observations loses to the non-ring
+        # engine's explicit push.
+        ring_capacity = max(capacity, 2 * push_size)
+        use_ring = (
+            use_fused and args.collect_drones == 1
+            and ring_capacity <= 4 * args.num_envs)
         engine_name = "jnp"
         if use_fused:
-            engine_name = (
-                "fused-pallas-ring" if args.collect_drones == 1
-                else "fused-pallas")
+            engine_name = "fused-pallas-ring" if use_ring else "fused-pallas"
         logger.info("Engine: %s", engine_name)
-        if use_fused and args.collect_drones == 1:
+        if use_ring:
             # Ring engine: the replay ring is the kernel's obs buffer.
-            ring_capacity = max(capacity, 2 * push_size)
             tick = build_train_step_ring(
                 agent, env_params, args.num_envs, ring_capacity,
                 args.batch_size, args.reset_env_every)
@@ -683,7 +689,10 @@ def train(args) -> dict:
             if run:
                 run.log({"eval_reward": emean, "random_reward": rmean}, step=step)
         carry, (rewards, epsilons) = run_chunk(carry, dummy)
-    jax.block_until_ready(rewards)
+    # Hard host sync: a scalar readback is the only reliable completion
+    # barrier on tunneled backends (block_until_ready may return early,
+    # silently inflating the reported obs/s).
+    float(jnp.sum(rewards[-1]))
     elapsed = timer() - ts
 
     if args.profile:

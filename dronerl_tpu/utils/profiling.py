@@ -30,7 +30,13 @@ def trace(log_dir: str) -> Iterator[None]:
 
 
 class Stopwatch:
-    """Wall-clock timer that waits for device completion on stop."""
+    """Wall-clock timer that waits for device completion on stop.
+
+    Caveat: on tunneled backends ``block_until_ready`` may return before
+    execution finishes; for benchmark-grade numbers prefer a host
+    readback of a scalar that depends on the timed computation (see
+    bench.py).
+    """
 
     def __init__(self):
         self.start = None
