@@ -200,7 +200,12 @@ def build_train_step_fused(
     reset_env_every: int,
     interpret: bool = False,
 ):
-    """Feature-major scan body around the fused Pallas step+observe kernel.
+    """Feature-major scan body around the fused step+observe kernel.
+
+    Superseded in the production path by :func:`build_train_step_full`
+    (actor + reset fused in-kernel) and :func:`build_train_step_ring`;
+    kept as the engine for callers that need externally-supplied actions
+    with feature-major replay.
 
     The env state, observations and replay storage all live transposed
     (features on sublanes, envs/slots on lanes); the whole environment
