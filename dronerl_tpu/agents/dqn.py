@@ -210,10 +210,14 @@ class DQN:
     # path. Dense networks only.
 
     def q_values_t(self, params: Any, obs_t: jax.Array) -> jax.Array:
-        """Forward pass on (obs_dim, B) observations → (num_actions, B)."""
+        """Forward pass on (obs_dim, B) observations → (num_actions, B).
+
+        Dense networks run natively feature-major; conv networks fall back
+        to the row-major module behind a pair of transposes (the fused env
+        engine still applies — only the tiny Q forward changes layout).
+        """
         if self.config.network_type != "dense":
-            raise NotImplementedError(
-                "feature-major forward supports dense networks only")
+            return self.q_values(params, obs_t.T).T
         layers = params["params"]
         x = obs_t
         n_layers = len(layers)

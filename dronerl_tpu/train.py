@@ -469,11 +469,7 @@ def fused_engine_supported(agent: DQN, env_params: EnvParams,
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon") or (
         "TPU" in jax.devices()[0].device_kind.upper())
-    return (
-        on_tpu
-        and agent.config.network_type == "dense"
-        and fused_tick.supports(env_params, num_envs)
-    )
+    return on_tpu and fused_tick.supports(env_params, num_envs)
 
 
 def evaluate(
@@ -618,8 +614,9 @@ def train(args) -> dict:
         # much larger than one step's observations loses to the non-ring
         # engine's explicit push.
         ring_capacity = max(capacity, 2 * push_size)
+        dense = agent_config.network_type == "dense"
         use_ring = (
-            use_fused and args.collect_drones == 1
+            use_fused and dense and args.collect_drones == 1
             and ring_capacity <= 4 * args.num_envs)
         engine_name = "jnp"
         if use_fused:
@@ -642,7 +639,12 @@ def train(args) -> dict:
             bstate = buffer.init(
                 {key: template[key] for key in
                  ("obs", "actions", "rewards", "dones")})
-            tick = build_train_step_full(
+            # Dense nets: actor + reset fused in-kernel. Conv nets: fused
+            # env kernel with the conv actor in XLA (layout fallbacks in
+            # DQN.q_values_t / train_step_t).
+            builder = (build_train_step_full if dense
+                       else build_train_step_fused)
+            tick = builder(
                 agent, buffer, env_params, args.num_envs,
                 args.collect_drones, args.reset_env_every)
             state0 = fused_tick.to_tstate(env_states)

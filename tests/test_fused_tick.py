@@ -312,3 +312,35 @@ def test_ring_trainer_interpret():
         agent.init_state(rng).params)[0]
     p1 = jax.tree.leaves(carry[-3].params)[0]
     assert not (np.asarray(p0) == np.asarray(p1)).all()
+
+
+def test_fused_trainer_conv_actor_interpret():
+    """Conv networks ride the fused env kernel with the conv actor in XLA
+    (layout fallbacks in q_values_t / train_step_t)."""
+    from dronerl_tpu.train import build_train_step_fused
+
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    num_envs = 128
+    agent = DQN(DQNConfig(network_type="conv", conv_dense_layers=(16,),
+                          epsilon_decay_every=5, target_update_interval=5),
+                env_params)
+    buf = replay.StreamReplay(
+        capacity=num_envs * 4, batch_size=8, stride=num_envs)
+    template = {
+        "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    }
+    rng = jax.random.PRNGKey(0)
+    states = env_core.reset_batch(rng, env_params, num_envs)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, env_params, 1).reshape(
+        num_envs, agent.obs_dim).T
+    carry = (rng, tstate, obs_t, agent.init_state(rng), buf.init(template),
+             jnp.array(0))
+    tick = build_train_step_fused(
+        agent, buf, env_params, num_envs, 1, 100, interpret=True)
+    for _ in range(3):
+        carry, (rewards, eps) = tick(carry, None)
+    assert np.isfinite(np.asarray(rewards)).all()
