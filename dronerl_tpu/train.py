@@ -567,10 +567,12 @@ def train(args) -> dict:
                 "boundary ε decay is not defined across env shards)")
         mesh = make_env_mesh()
         ndev = mesh.devices.size
+        # The sharded fused tick runs the actor in-kernel (dense only).
         sharded_engine = "fused" if (
-            args.engine == "fused"
-            or (args.engine == "auto" and fused_engine_supported(
-                agent, env_params, args.num_envs // ndev))
+            agent_config.network_type == "dense"
+            and (args.engine == "fused"
+                 or (args.engine == "auto" and fused_engine_supported(
+                     agent, env_params, args.num_envs // ndev)))
         ) else "jnp"
         logger.info("Sharded engine: %s", sharded_engine)
         trainer = DistributedTrainer(
