@@ -106,14 +106,14 @@ def from_tstate(tstate: TState, params: EnvParams) -> EnvState:
     )
 
 
-def _split_rows(k1, k2):
+def _split_rows(k1, k2, rounds=20):
     """jax.random.split(key) rows for (1, E) key vectors.
 
     One threefry pass over a (2, E) count block — the per-hash op count
     is the cost driver in-kernel, not the element count.
     """
     counts = jax.lax.broadcasted_iota(_U32, (2, 1), 0)
-    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
+    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts, rounds)
     return (b1[:1], b2[:1]), (b1[1:], b2[1:])
 
 
@@ -122,7 +122,7 @@ def _bits_to_unit_float(bits):
     return jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
 
 
-def _uniform_cells_multi(key_pairs, num_cells):
+def _uniform_cells_multi(key_pairs, num_cells, rounds=20):
     """k uniform(key_i, (C,)) fields in ONE threefry pass.
 
     ``key_pairs``: sequence of ((1,E),(1,E)) uint32 word pairs. Equals
@@ -138,7 +138,7 @@ def _uniform_cells_multi(key_pairs, num_cells):
     k2 = jnp.concatenate(
         [jnp.broadcast_to(kb, (num_cells, width)) for _, kb in key_pairs],
         axis=0)
-    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts)
+    b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts, rounds)
     u = _bits_to_unit_float(b1 ^ b2)
     return [u[i * num_cells : (i + 1) * num_cells] for i in range(m)]
 
@@ -146,8 +146,9 @@ def _uniform_cells_multi(key_pairs, num_cells):
 class _GridOps:
     """Per-kernel helper closures over the static geometry."""
 
-    def __init__(self, params: EnvParams, block: int):
+    def __init__(self, params: EnvParams, block: int, rounds: int = 20):
         self.params = params
+        self.rounds = rounds
         self.g = params.grid_size
         self.c = params.num_cells
         self.n = params.n_drones
@@ -417,9 +418,9 @@ def _reset_envs(ops: _GridOps, rk1, rk2):
     k1, k2 = rk1, rk2
     placement_pairs = []
     for _ in range(5):
-        (k1, k2), (p1, p2) = _split_rows_wide(k1, k2)
+        (k1, k2), (p1, p2) = _split_rows_wide(k1, k2, ops.rounds)
         placement_pairs.append((p1, p2))
-    us = _uniform_cells_multi(placement_pairs, c)
+    us = _uniform_cells_multi(placement_pairs, c, ops.rounds)
 
     ground = jnp.zeros((c, 1), jnp.float32) * jnp.zeros((1, block), jnp.float32)
     for (count, code), u in zip(
@@ -450,7 +451,7 @@ def _reset_envs(ops: _GridOps, rk1, rk2):
     return ground, air_x, air_y, carrying, charge
 
 
-def _split_rows_wide(k1, k2):
+def _split_rows_wide(k1, k2, rounds=20):
     """_split_rows for (1, B) per-lane DISTINCT keys (reset chains)."""
     zeros = jnp.zeros_like(k1)
     counts0 = zeros
@@ -459,15 +460,15 @@ def _split_rows_wide(k1, k2):
         jnp.concatenate([k1, k1], axis=0),
         jnp.concatenate([k2, k2], axis=0),
         jnp.concatenate([counts0, counts0], axis=0).astype(_U32),
-        jnp.concatenate([counts0, counts1], axis=0).astype(_U32))
+        jnp.concatenate([counts0, counts1], axis=0).astype(_U32), rounds)
     return (b1[:1], b2[:1]), (b1[1:], b2[1:])
 
 
 def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
                  act_ref, out_ground, out_ax, out_ay, out_carry, out_charge,
                  out_rew, out_done, out_obs, *, params: EnvParams,
-                 collect: int, block: int):
-    ops = _GridOps(params, block)
+                 collect: int, block: int, rng_rounds: int = 20):
+    ops = _GridOps(params, block, rng_rounds)
     c = params.num_cells
 
     # --- per-env PRNG keys: rows of jax.random.split(step_key, E) --------
@@ -478,12 +479,12 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     sk2 = key_ref[1].astype(_U32)
     ek1, ek2 = threefry2x32(
         jnp.full((1, block), sk1, _U32), jnp.full((1, block), sk2, _U32),
-        jnp.zeros_like(counts), counts)
-    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
-    (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
+        jnp.zeros_like(counts), counts, rng_rounds)
+    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2, rng_rounds)
+    (_, _), (ak1, ak2) = _split_rows(nk1, nk2, rng_rounds)
     # u_ground is shared by the packet AND dropzone respawns (key quirk).
     u_ground, u_air = _uniform_cells_multi(
-        [(rk1, rk2), (ak1, ak2)], c)
+        [(rk1, rk2), (ak1, ak2)], c, rng_rounds)
 
     results = _physics_and_observe(
         ops, collect, u_ground, u_air,
@@ -519,7 +520,8 @@ def _q_forward(obs, weight_refs):
 
 def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
                  charge_ref, eps_ref, *rest, params: EnvParams, collect: int,
-                 block: int, num_envs: int, n_layers: int):
+                 block: int, num_envs: int, n_layers: int,
+                 rng_rounds: int = 20):
     # rest = [W_0, b_0, ..., W_{L-1}, b_{L-1},
     #         out_ground, out_ax, out_ay, out_carry, out_charge,
     #         out_rew, out_done, out_actions, out_obs]
@@ -528,7 +530,7 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
     (out_ground, out_ax, out_ay, out_carry, out_charge, out_rew, out_done,
      out_actions, out_obs) = rest[2 * n_layers :]
 
-    ops = _GridOps(params, block)
+    ops = _GridOps(params, block, rng_rounds)
     c = params.num_cells
     n = params.n_drones
     obs_dim = params.obs_shape[0] * params.obs_shape[1] * NUM_OBS_CHANNELS
@@ -541,20 +543,21 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
     sk1_b = jnp.full((1, block), sk1, _U32)
     sk2_b = jnp.full((1, block), sk2, _U32)
     ek1, ek2 = threefry2x32(
-        sk1_b, sk2_b, jnp.zeros_like(lane_counts), lane_counts)
+        sk1_b, sk2_b, jnp.zeros_like(lane_counts), lane_counts, rng_rounds)
     # rows E (actor) and E+1 (reset base) of split(step_key, E + 2)
     extra_counts = (
         jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0) + num_envs
     ).astype(_U32)
     x1, x2 = threefry2x32(
         jnp.full((2, 1), sk1, _U32), jnp.full((2, 1), sk2, _U32),
-        jnp.zeros_like(extra_counts), extra_counts)
+        jnp.zeros_like(extra_counts), extra_counts, rng_rounds)
     actor_k = (x1[0:1], x2[0:1])
     reset_base = (x1[1:2], x2[1:2])
 
-    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2)
-    (_, _), (ak1, ak2) = _split_rows(nk1, nk2)
-    u_ground, u_air = _uniform_cells_multi([(rk1, rk2), (ak1, ak2)], c)
+    (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2, rng_rounds)
+    (_, _), (ak1, ak2) = _split_rows(nk1, nk2, rng_rounds)
+    u_ground, u_air = _uniform_cells_multi(
+        [(rk1, rk2), (ak1, ak2)], c, rng_rounds)
 
     # --- in-kernel ε-greedy actor + random opponents ----------------------
     # (N+1, B) uniforms from the actor key: row 0 gates exploration, rows
@@ -565,7 +568,8 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
         + jax.lax.broadcasted_iota(jnp.int32, (n + 1, block), 1)
     ).astype(_U32)
     ab1, ab2 = threefry2x32(
-        actor_k[0], actor_k[1], jnp.zeros_like(act_counts), act_counts)
+        actor_k[0], actor_k[1], jnp.zeros_like(act_counts), act_counts,
+        rng_rounds)
     u_act = _bits_to_unit_float(ab1 ^ ab2)
     rand_actions = jnp.floor(u_act[1:] * float(NUM_ACTIONS)).astype(jnp.int32)
     rand_actions = jnp.clip(rand_actions, 0, NUM_ACTIONS - 1)
@@ -608,7 +612,7 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
         rb1, rb2 = threefry2x32(
             jnp.broadcast_to(reset_base[0], (1, block)),
             jnp.broadcast_to(reset_base[1], (1, block)),
-            jnp.zeros_like(lane_counts), lane_counts)
+            jnp.zeros_like(lane_counts), lane_counts, rng_rounds)
         f_ground, f_x, f_y, f_carry, f_charge = _reset_envs(ops, rb1, rb2)
         fresh_obs = _encode_obs(
             ops, collect, f_ground, f_x, f_y, f_carry, f_charge)
@@ -639,7 +643,8 @@ def supports(params: EnvParams, num_envs: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "collect", "interpret", "vma"))
+    jax.jit,
+    static_argnames=("params", "collect", "interpret", "vma", "rng_rounds"))
 def tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -648,6 +653,7 @@ def tick_fused(
     collect: int = 1,
     interpret: bool = False,
     vma: Tuple[str, ...] = (),
+    rng_rounds: int = 20,
 ) -> Tuple[TState, jax.Array, jax.Array, jax.Array]:
     """Fused step + observe on transposed state.
 
@@ -664,7 +670,8 @@ def tick_fused(
     grid = (num_envs // block,)
 
     kernel = functools.partial(
-        _tick_kernel, params=params, collect=collect, block=block)
+        _tick_kernel, params=params, collect=collect, block=block,
+        rng_rounds=rng_rounds)
 
     def spec(rows):
         return pl.BlockSpec(
@@ -727,7 +734,7 @@ def _flatten_dense_params(net_params) -> Tuple[list, int]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "collect", "interpret", "vma"))
+    static_argnames=("params", "collect", "interpret", "vma", "rng_rounds"))
 def full_tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -739,6 +746,7 @@ def full_tick_fused(
     collect: int = 1,
     interpret: bool = False,
     vma: Tuple[str, ...] = (),
+    rng_rounds: int = 20,
 ):
     """The whole env side of a training tick in one dispatch.
 
@@ -764,7 +772,7 @@ def full_tick_fused(
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
-        num_envs=num_envs, n_layers=n_layers)
+        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds)
 
     def spec(rows):
         return pl.BlockSpec(
@@ -832,7 +840,7 @@ def full_tick_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "collect", "interpret"))
+    static_argnames=("params", "collect", "interpret", "rng_rounds"))
 def full_tick_fused_ring(
     step_key: jax.Array,
     tstate: TState,
@@ -845,6 +853,7 @@ def full_tick_fused_ring(
     params: EnvParams,
     collect: int = 1,
     interpret: bool = False,
+    rng_rounds: int = 20,
 ):
     """:func:`full_tick_fused` writing observations straight into the
     replay ring.
@@ -867,7 +876,7 @@ def full_tick_fused_ring(
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
-        num_envs=num_envs, n_layers=n_layers)
+        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds)
 
     def spec(rows):
         return pl.BlockSpec(

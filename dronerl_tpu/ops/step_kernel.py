@@ -72,19 +72,25 @@ def _rotl(x, d):
     return (x << _U32(d)) | (x >> _U32(32 - d))
 
 
-def threefry2x32(k1, k2, x0, x1):
+def threefry2x32(k1, k2, x0, x1, rounds=20):
     """The jax threefry2x32 primitive, elementwise over broadcast args.
 
     Identical round/injection schedule to jax._src.prng's unrolled
-    lowering; all operands uint32.
+    lowering; all operands uint32. ``rounds`` must be a multiple of 4 in
+    [4, 20]; the default 20 is bit-exact with ``jax.random``. Lower
+    values are the standard reduced-round Threefry-2x32-R family (the
+    fused engines' opt-in fast-RNG mode — NOT parity-locked; Salmon et
+    al. report R>=13 passes BigCrush, so 8 trades a measurable amount of
+    statistical headroom for throughput on spawn/exploration noise).
     """
+    assert rounds % 4 == 0 and 4 <= rounds <= 20, rounds
     ks0, ks1 = k1, k2
     ks2 = k1 ^ k2 ^ _U32(0x1BD11BDA)
     x0 = x0 + ks0
     x1 = x1 + ks1
     schedule = ((_ROT0, ks1, ks2, 1), (_ROT1, ks2, ks0, 2),
                 (_ROT0, ks0, ks1, 3), (_ROT1, ks1, ks2, 4),
-                (_ROT0, ks2, ks0, 5))
+                (_ROT0, ks2, ks0, 5))[: rounds // 4]
     for rots, inj0, inj1, i in schedule:
         for r in rots:
             x0 = x0 + x1

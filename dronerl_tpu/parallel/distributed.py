@@ -76,6 +76,7 @@ class DistributedTrainer:
         axis_name: str = "dp",
         engine: str = "jnp",
         interpret: bool = False,
+        rng_rounds: int = 20,
     ):
         self.agent = agent
         self.env_params = env_params
@@ -89,6 +90,7 @@ class DistributedTrainer:
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.interpret = interpret
+        self.rng_rounds = rng_rounds
         self.num_envs = num_envs
         self.envs_per_shard = num_envs // self.num_devices
         self.collect_drones = collect_drones
@@ -243,7 +245,8 @@ class DistributedTrainer:
                 fused_tick.full_tick_fused(
                     step_key, tstate, obs_t, ag_state.params,
                     ag_state.epsilon, step % reset_env_every == 0,
-                    env_params, k, interpret, vma=(axis,)))
+                    env_params, k, interpret, vma=(axis,),
+                    rng_rounds=self.rng_rounds))
 
             exps = {
                 "obs": jnp.concatenate(

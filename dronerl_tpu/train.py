@@ -292,6 +292,7 @@ def build_train_step_full(
     collect_drones: int,
     reset_env_every: int,
     interpret: bool = False,
+    rng_rounds: int = 20,
 ):
     """Scan body around the all-in-one kernel (ops/fused_tick.full_tick_fused).
 
@@ -299,7 +300,10 @@ def build_train_step_full(
     respawns, observations AND the periodic reset — is ONE kernel
     dispatch; outside remain only the replay ring writes and the TD
     update. The RNG contract is documented on full_tick_fused (trainer-
-    level streams are not parity-locked).
+    level streams are not parity-locked). ``rng_rounds < 20`` selects the
+    reduced-round fast-RNG mode (ops/step_kernel.threefry2x32) — faster,
+    statistically sound spawns/exploration, but transitions are no longer
+    bit-identical to the reference env.
     """
     from dronerl_tpu.ops import fused_tick
 
@@ -313,7 +317,8 @@ def build_train_step_full(
         tstate, rewards_t, dones_t, actions_t, next_obs_t = (
             fused_tick.full_tick_fused(
                 step_key, tstate, obs_t, ag_state.params, ag_state.epsilon,
-                step % reset_env_every == 0, env_params, k, interpret))
+                step % reset_env_every == 0, env_params, k, interpret,
+                rng_rounds=rng_rounds))
 
         exps = {
             "obs": jnp.concatenate(
@@ -361,6 +366,7 @@ def build_train_step_ring(
     batch_size: int,
     reset_env_every: int,
     interpret: bool = False,
+    rng_rounds: int = 20,
 ):
     """Scan body where the replay ring IS the kernel's observation buffer.
 
@@ -394,7 +400,8 @@ def build_train_step_ring(
             fused_tick.full_tick_fused_ring(
                 step_key, tstate, ring, read_slot, write_slot,
                 ag_state.params, ag_state.epsilon,
-                step % reset_env_every == 0, env_params, 1, interpret))
+                step % reset_env_every == 0, env_params, 1, interpret,
+                rng_rounds=rng_rounds))
 
         # Scalars live at the same slot as this tick's input observation.
         a_ring = jax.lax.dynamic_update_slice(
@@ -583,6 +590,8 @@ def train(args) -> dict:
             collect_drones=args.collect_drones,
             reset_env_every=args.reset_env_every,
             engine=sharded_engine,
+            rng_rounds=(8 if getattr(args, "fast_rng", False)
+                        and sharded_engine == "fused" else 20),
         )
         carry = trainer.init_carry(rng)
         chunk_fn = trainer.build_chunk(scan_steps)
@@ -623,12 +632,17 @@ def train(args) -> dict:
         engine_name = "jnp"
         if use_fused:
             engine_name = "fused-pallas-ring" if use_ring else "fused-pallas"
+        rng_rounds = 8 if getattr(args, "fast_rng", False) else 20
+        if rng_rounds != 20 and not use_fused:
+            logger.warning("--fast_rng only affects the fused engines; "
+                           "the jnp engine always uses jax.random")
         logger.info("Engine: %s", engine_name)
         if use_ring:
             # Ring engine: the replay ring is the kernel's obs buffer.
             tick = build_train_step_ring(
                 agent, env_params, args.num_envs, ring_capacity,
-                args.batch_size, args.reset_env_every)
+                args.batch_size, args.reset_env_every,
+                rng_rounds=rng_rounds)
             carry = init_ring_carry(
                 agent, env_params, args.num_envs, ring_capacity, rng)
             state0 = None
@@ -644,11 +658,15 @@ def train(args) -> dict:
             # Dense nets: actor + reset fused in-kernel. Conv nets: fused
             # env kernel with the conv actor in XLA (layout fallbacks in
             # DQN.q_values_t / train_step_t).
-            builder = (build_train_step_full if dense
-                       else build_train_step_fused)
-            tick = builder(
-                agent, buffer, env_params, args.num_envs,
-                args.collect_drones, args.reset_env_every)
+            if dense:
+                tick = build_train_step_full(
+                    agent, buffer, env_params, args.num_envs,
+                    args.collect_drones, args.reset_env_every,
+                    rng_rounds=rng_rounds)
+            else:
+                tick = build_train_step_fused(
+                    agent, buffer, env_params, args.num_envs,
+                    args.collect_drones, args.reset_env_every)
             state0 = fused_tick.to_tstate(env_states)
             obs0 = obs.reshape(
                 args.num_envs, args.collect_drones * agent.obs_dim).T
@@ -824,6 +842,11 @@ def parse_args(argv=None):
         help="Training engine: fused Pallas step+observe kernel (TPU, "
              "dense nets) or the pure-jnp path; auto picks fused when "
              "supported")
+    p.add_argument(
+        "--fast_rng", action="store_true",
+        help="Fused engines only: reduced-round Threefry-2x32-8 for "
+             "spawn/exploration noise. Faster; env transitions are no "
+             "longer bit-identical to the reference at fixed seeds")
     p.add_argument("--save_final_checkpoint", action="store_true")
     p.add_argument("--save_train_state", action="store_true",
                    help="Persist full training state (params/opt/ε/buffer/envs)")

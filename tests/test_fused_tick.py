@@ -344,3 +344,54 @@ def test_fused_trainer_conv_actor_interpret():
     for _ in range(3):
         carry, (rewards, eps) = tick(carry, None)
     assert np.isfinite(np.asarray(rewards)).all()
+
+
+def test_fast_rng_mode():
+    """Opt-in reduced-round RNG (rng_rounds=8): deterministic, diverges
+    from the bit-parity stream, and every env invariant still holds."""
+    from dronerl_tpu.constants import Object
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    agent = DQN(DQNConfig(hidden_layers=(16, 16)), params)
+    rng = jax.random.PRNGKey(0)
+    ag = agent.init_state(rng)
+    states = env_core.reset_batch(rng, params, E)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, params, 1).reshape(
+        E, agent.obs_dim).T
+    eps = jnp.float32(0.7)
+    rng, skey = jax.random.split(rng)
+
+    def run(rounds, do_reset=False):
+        return fused_tick.full_tick_fused(
+            skey, tstate, obs_t, ag.params, eps, jnp.array(do_reset),
+            params, 1, interpret=True, rng_rounds=rounds)
+
+    fast = run(8)
+    fast_again = run(8)
+    parity = run(20)
+    for a, b in zip(jax.tree.leaves(fast), jax.tree.leaves(fast_again)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    diverged = any(
+        np.asarray(a).shape == np.asarray(b).shape
+        and (np.asarray(a) != np.asarray(b)).any()
+        for a, b in zip(jax.tree.leaves(fast), jax.tree.leaves(parity)))
+    assert diverged
+
+    for out in (fast, run(8, do_reset=True)):
+        st = fused_tick.from_tstate(out[0], params)
+        g = params.grid_size
+        ground = np.asarray(st.ground)
+        codes = {0, Object.SKYSCRAPER.value, Object.STATION.value,
+                 Object.DROPZONE.value, Object.PACKET.value}
+        assert set(np.unique(ground)).issubset(codes)
+        assert (np.asarray(st.air_x) >= 0).all()
+        assert (np.asarray(st.air_x) < g).all()
+        assert (np.asarray(st.air_y) >= 0).all()
+        assert (np.asarray(st.air_y) < g).all()
+        charge = np.asarray(st.charge)
+        assert (charge >= 0).all() and (charge <= 100).all()
+        obs = np.asarray(out[4])
+        assert (obs >= 0).all() and (obs <= 1).all()
+        assert np.isfinite(np.asarray(out[1])).all()
