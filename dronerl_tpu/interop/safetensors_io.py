@@ -27,7 +27,7 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 from safetensors import safe_open
 from safetensors.numpy import load_file, save_file
 
-from dronerl_tpu.constants import NUM_ACTIONS, NUM_OBS_CHANNELS
+from dronerl_tpu.constants import NUM_ACTIONS
 
 FORMAT_VERSION = "0.1"
 
@@ -39,7 +39,6 @@ class CheckpointFormatError(Exception):
 def _metadata(config, env_params, fmt: str) -> dict:
     from dronerl_tpu.agents.dqn import DQNConfig  # noqa: F401 (type context)
 
-    ws = env_params.window_radius * 2 + 1
     if fmt == "torch" and config.network_type == "conv":
         # torch impl reuses the dense_layers key for the conv head widths.
         dense_layers = str(tuple(config.conv_dense_layers))
@@ -50,7 +49,10 @@ def _metadata(config, env_params, fmt: str) -> dict:
         "dense_layers": dense_layers,
         "conv_layers": str(config.conv_specs()),
         "conv_dense_layers": str(tuple(config.conv_dense_layers)),
-        "obs_shape": str((ws, ws, NUM_OBS_CHANNELS)),
+        # obs_shape follows the wrapper: (2r+1, 2r+1, C) for 'window',
+        # (grid, grid, C) for 'global' — the torch loader dispatches the
+        # rebuilt network's input shape on this field.
+        "obs_shape": str(tuple(env_params.obs_shape)),
         "action_shape": str((NUM_ACTIONS,)),
         "checkpoint_format": fmt,
         "checkpoint_format_version": FORMAT_VERSION,
@@ -110,11 +112,18 @@ def _config_from_metadata(metadata: dict):
             hidden_layers=tuple(ast.literal_eval(metadata["dense_layers"])),
         )
     if network_type == "conv":
+        # Historical torch checkpoints (e.g. the reference's frozen
+        # sample_models) carry the conv head widths in ``dense_layers``
+        # and omit ``conv_dense_layers`` entirely — the reference conv
+        # factory reads ``dense_layers`` (reference:
+        # torch_impl/agents/dqn.py:263-276). Prefer the explicit key,
+        # fall back to the historical one.
+        head = metadata.get(
+            "conv_dense_layers", metadata.get("dense_layers", "()"))
         return DQNConfig(
             network_type="conv",
             conv_layers=ast.literal_eval(metadata["conv_layers"]),
-            conv_dense_layers=tuple(
-                ast.literal_eval(metadata["conv_dense_layers"])),
+            conv_dense_layers=tuple(ast.literal_eval(head)),
         )
     raise CheckpointFormatError(f"Unknown network type {network_type!r}")
 

@@ -1,0 +1,135 @@
+"""Training-quality parity experiment: reference trainer vs dronerl_tpu.
+
+Runs /root/reference/train_jax.py and ``python -m dronerl_tpu.train`` at
+the matched CLI-default config (grid 9, 4 drones, (16,16) dense — the
+reference trainer's defaults, reference: train_jax.py:338-365) for N
+seeds each on CPU, at the same step count and eval protocol (5 greedy
+eval episodes x 10k steps, eval seeds 0..4), and records final eval
+rewards side by side.
+
+Output: scripts/quality_parity_results.json, updated after every run so
+a partial sweep is still usable. The summary table is reproduced in
+PERF.md and locked by tests/test_quality_parity.py (band check against
+these frozen results).
+
+Usage:  python scripts/quality_parity.py [--num_steps 50000] [--seeds 0 1 2]
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+STUBS = os.path.join(REPO, "scripts", "_stubs")
+RESULTS = os.path.join(REPO, "scripts", "quality_parity_results.json")
+
+EVAL_RE = re.compile(
+    r"Final mean eval reward: (-?\d+\.\d+) . (-?\d+\.\d+) "
+    r"\(random agent: (-?\d+\.\d+) . (-?\d+\.\d+)\)")
+
+
+def cpu_env(pythonpath: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pythonpath  # deliberately excludes the axon plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def run_reference(seed: int, num_steps: int) -> dict:
+    cmd = [sys.executable, "train_jax.py",
+           "--seed", str(seed), "--num_steps", str(num_steps)]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=REFERENCE, env=cpu_env(f"{STUBS}:{REFERENCE}"),
+        capture_output=True, text=True, timeout=3600)
+    out = proc.stdout + proc.stderr
+    m = EVAL_RE.search(out)
+    if proc.returncode != 0 or not m:
+        raise RuntimeError(f"reference run seed={seed} failed:\n{out[-3000:]}")
+    return {
+        "seed": seed,
+        "eval_reward_mean": float(m.group(1)),
+        "eval_reward_std": float(m.group(2)),
+        "random_reward_mean": float(m.group(3)),
+        "random_reward_std": float(m.group(4)),
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+
+
+def run_repo(seed: int, num_steps: int) -> dict:
+    run_dir = os.path.join(REPO, "output", f"parity_seed{seed}")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from dronerl_tpu.train import main;"
+        f"main(['--seed', '{seed}', '--num_steps', '{num_steps}',"
+        f" '--run_dir', {run_dir!r}])")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=cpu_env(REPO),
+        capture_output=True, text=True, timeout=3600)
+    metrics_path = os.path.join(run_dir, "metrics.json")
+    if proc.returncode != 0 or not os.path.exists(metrics_path):
+        out = proc.stdout + proc.stderr
+        raise RuntimeError(f"repo run seed={seed} failed:\n{out[-3000:]}")
+    with open(metrics_path) as f:
+        metrics = json.load(f)
+    out = proc.stdout + proc.stderr
+    m = re.search(r"random (-?\d+\.\d+) . (-?\d+\.\d+)", out)
+    return {
+        "seed": seed,
+        "eval_reward_mean": metrics["eval_reward_mean"],
+        "eval_reward_std": metrics["eval_reward_std"],
+        "random_reward_mean": float(m.group(1)) if m else None,
+        "random_reward_std": float(m.group(2)) if m else None,
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+
+
+def save(results: dict) -> None:
+    with open(RESULTS, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_steps", type=int, default=50_000)
+    p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
+    args = p.parse_args()
+
+    results = {"config": {
+        "num_steps": args.num_steps, "seeds": args.seeds,
+        "trainer_config": "CLI defaults: grid 9, 4 drones, dense (16,16), "
+                          "num_envs 1, batch 8, lr 1e-3, gamma 0.9",
+        "eval": "5 greedy episodes x 10k steps, eval seeds 0-4",
+    }, "reference": [], "repo": []}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            prev = json.load(f)
+        if prev.get("config", {}).get("num_steps") == args.num_steps:
+            results = prev
+
+    for seed in args.seeds:
+        if not any(r["seed"] == seed for r in results["repo"]):
+            print(f"[repo] seed {seed} ...", flush=True)
+            results["repo"].append(run_repo(seed, args.num_steps))
+            save(results)
+            print(f"[repo] seed {seed}: {results['repo'][-1]}", flush=True)
+        if not any(r["seed"] == seed for r in results["reference"]):
+            print(f"[ref ] seed {seed} ...", flush=True)
+            results["reference"].append(run_reference(seed, args.num_steps))
+            save(results)
+            print(f"[ref ] seed {seed}: {results['reference'][-1]}", flush=True)
+
+    for side in ("reference", "repo"):
+        means = [r["eval_reward_mean"] for r in results[side]]
+        print(f"{side}: mean over seeds = {sum(means) / len(means):.4f}  "
+              f"per-seed = {[round(m, 4) for m in means]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Training-quality parity lock vs the reference trainer.
+
+The frozen numbers in scripts/quality_parity_results.json come from
+scripts/quality_parity.py: both trainers run at the matched CLI-default
+config (grid 9, 4 drones, dense (16,16), num_envs 1 — reference:
+train_jax.py:338-365) for 50k steps x 5 seeds on CPU, evaluated with the
+same protocol (5 greedy episodes x 10k steps).
+
+Two locks:
+* a fast statistical check that the recorded repo results sit inside the
+  reference's seed band (guards the frozen experiment record);
+* a ``slow`` re-run of one repo seed asserting it still lands in the
+  band (guards the live trainer against quality regressions).
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, "scripts", "quality_parity_results.json")
+
+
+@pytest.fixture(scope="module")
+def results():
+    if not os.path.exists(RESULTS):
+        pytest.skip("quality parity experiment has not been run")
+    with open(RESULTS) as f:
+        return json.load(f)
+
+
+def band(rows, z=4.0):
+    means = [r["eval_reward_mean"] for r in rows]
+    mu = statistics.mean(means)
+    sd = statistics.stdev(means) if len(means) > 1 else 0.01
+    return mu - z * sd, mu + z * sd
+
+
+def test_recorded_parity_within_seed_variance(results):
+    ref_rows, repo_rows = results["reference"], results["repo"]
+    assert len(ref_rows) >= 3 and len(repo_rows) >= 3
+    lo, hi = band(ref_rows)
+    repo_mean = statistics.mean(r["eval_reward_mean"] for r in repo_rows)
+    assert lo <= repo_mean <= hi, (
+        f"repo mean {repo_mean:.4f} outside reference band "
+        f"[{lo:.4f}, {hi:.4f}]")
+    # Both sides must decisively beat their own random-agent baseline.
+    for rows in (ref_rows, repo_rows):
+        agent = statistics.mean(r["eval_reward_mean"] for r in rows)
+        rand = statistics.mean(r["random_reward_mean"] for r in rows)
+        assert agent > rand + 0.1
+
+
+@pytest.mark.slow
+def test_fresh_repo_run_lands_in_reference_band(results, tmp_path):
+    """Train 50k steps at the matched config NOW and assert the final
+    eval reward still falls inside the frozen reference seed band."""
+    num_steps = results["config"]["num_steps"]
+    run_dir = str(tmp_path / "fresh")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from dronerl_tpu.train import main;"
+        f"main(['--seed', '0', '--num_steps', '{num_steps}',"
+        f" '--run_dir', {run_dir!r}])")
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                   check=True, timeout=1800, capture_output=True)
+    with open(os.path.join(run_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    lo, hi = band(results["reference"], z=6.0)
+    assert lo <= metrics["eval_reward_mean"] <= hi
