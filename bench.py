@@ -56,7 +56,7 @@ def main():
     # Warm up with the same scan length so compilation and buffer fill are
     # excluded from the timed region.
     dummy = jnp.zeros((TIMED_STEPS,))
-    carry, (rewards, _) = run(carry, dummy)
+    carry, (rewards, *_aux) = run(carry, dummy)
     float(rewards.sum())  # hard host sync (block_until_ready can lie on
     #                        tunneled backends; a host transfer cannot)
 
@@ -65,7 +65,7 @@ def main():
     # so asynchronous dispatch cannot fake it.
     start = time.perf_counter()
     for _ in range(TIMED_REPEATS):
-        carry, (rewards, _) = run(carry, dummy)
+        carry, (rewards, *_aux) = run(carry, dummy)
     float(rewards.sum())
     elapsed = time.perf_counter() - start
 

@@ -233,20 +233,50 @@ class DistributedTrainer:
         interpret = self.interpret
         obs_dim = agent.obs_dim
 
+        dense = agent.config.network_type == "dense"
+        rng_rounds = self.rng_rounds
+
         def tick(carry, _):
             rng, tstate, obs_t, ag_state, bstate, step = carry
             local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             local = jax.random.fold_in(local, step)
-            step_key, sample_key = jax.random.split(local, 2)
+            step_key, sample_key, rand_key, act_key, reset_key = (
+                jax.random.split(local, 5))
 
-            # The all-in-one kernel: actor, opponents, physics, obs AND
-            # the periodic reset per shard — one dispatch.
-            tstate, rewards_t, dones_t, actions_t, next_obs_t = (
-                fused_tick.full_tick_fused(
-                    step_key, tstate, obs_t, ag_state.params,
-                    ag_state.epsilon, step % reset_env_every == 0,
-                    env_params, k, interpret, vma=(axis,),
-                    rng_rounds=self.rng_rounds))
+            if dense:
+                # The all-in-one kernel: actor, opponents, physics, obs
+                # AND the periodic reset per shard — one dispatch.
+                tstate, rewards_t, dones_t, actions_t, next_obs_t = (
+                    fused_tick.full_tick_fused(
+                        step_key, tstate, obs_t, ag_state.params,
+                        ag_state.epsilon, step % reset_env_every == 0,
+                        env_params, k, interpret, vma=(axis,),
+                        rng_rounds=rng_rounds))
+            else:
+                # Conv nets: fused env kernel with the actor in XLA (the
+                # same composition as the single-chip fused path — the
+                # conv forward falls back to the row-major module behind
+                # transposes, see DQN.q_values_t).
+                actions_t = jax.random.randint(
+                    rand_key, (env_params.n_drones, envs_per_shard),
+                    0, NUM_ACTIONS)
+                dqn_actions = agent.act_t(act_key, obs_t[:obs_dim], ag_state)
+                actions_t = actions_t.at[0].set(dqn_actions)
+                tstate, rewards_t, dones_t, next_obs_t = (
+                    fused_tick.tick_fused(
+                        step_key, tstate, actions_t, env_params, k,
+                        interpret, vma=(axis,), rng_rounds=rng_rounds))
+
+                def fresh(rkey):
+                    states = env_core.reset_batch(
+                        rkey, env_params, envs_per_shard)
+                    obs = env_core.observe_batch(states, env_params, k)
+                    return (fused_tick.to_tstate(states),
+                            obs.reshape(envs_per_shard, k * obs_dim).T)
+
+                tstate, next_obs_t = jax.lax.cond(
+                    step % reset_env_every == 0,
+                    fresh, lambda _: (tstate, next_obs_t), reset_key)
 
             exps = {
                 "obs": jnp.concatenate(
@@ -284,12 +314,16 @@ class DistributedTrainer:
 
             rng = jax.random.fold_in(rng, 1)
             carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
-            return carry, rewards_t[0]
+            return carry, (rewards_t[0], loss)
 
         return tick
 
     def build_chunk(self, scan_steps: int):
-        """Jitted program running ``scan_steps`` fused train ticks."""
+        """Jitted program running ``scan_steps`` fused train ticks.
+
+        Outputs per step: drone-0 rewards (sharded over envs) and the
+        pmean'd TD loss (replicated) — surfaced for training curves.
+        """
         if self.engine == "fused":
             tick = self._build_fused_tick()
             axis = self.axis
@@ -302,7 +336,7 @@ class DistributedTrainer:
                 jax.shard_map,
                 mesh=self.mesh,
                 in_specs=(self.carry_specs,),
-                out_specs=(self.carry_specs, P(None, axis)),
+                out_specs=(self.carry_specs, (P(None, axis), P(None))),
                 check_vma=False,
             )
             def chunk(carry):
@@ -380,13 +414,13 @@ class DistributedTrainer:
 
             rng = jax.random.fold_in(rng, 1)
             carry = (rng, env_states, next_obs, ag_state, bstate, step + 1)
-            return carry, rewards[:, 0]
+            return carry, (rewards[:, 0], loss)
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(self.carry_specs,),
-            out_specs=(self.carry_specs, P(None, axis)),
+            out_specs=(self.carry_specs, (P(None, axis), P(None))),
         )
         def chunk(carry):
             return jax.lax.scan(tick, carry, length=scan_steps)

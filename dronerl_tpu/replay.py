@@ -213,6 +213,17 @@ class StreamReplay:
     classic two-copy buffer samples the newest step too; at
     capacity ≫ stride the distributions are indistinguishable).
 
+    Known approximation at periodic-reset boundaries: a transition
+    recorded on the tick a trainer resets its envs pairs with the
+    POST-reset observation (``done`` stays False), so its TD target
+    bootstraps from a fresh, unrelated env state. This affects 1 in
+    ``reset_env_every`` stored transitions (1% at the trainer default of
+    100) and is the price of storing each observation once; the two-copy
+    :class:`ReplayBuffer` used by the jnp engine stores the true
+    pre-reset next_obs. Measured end-to-end, training quality matches
+    the jnp engine (README "Training quality"); use the jnp engine if
+    exact reset-boundary bootstrapping matters.
+
     Capacity must be a multiple of ``stride`` (keeps every push
     contiguous and the successor offset exact across the wrap).
     """
@@ -261,6 +272,87 @@ class StreamReplay:
 
     def can_sample(self, state: ReplayState) -> jax.Array:
         return state.size - self.stride >= self.batch_size
+
+
+def inspect_memory(state: ReplayState, top_n: int = 10, max_col: int = 80,
+                   plot: bool = False, printer=print) -> dict:
+    """Buffer introspection: distributions + most-common states.
+
+    Capability mirror of the reference's ``DQNAgent.inspect_memory``
+    (reference: torch_impl/agents/dqn.py:427-494) for device-resident
+    buffers: fetches the valid slots to host once, then reports action /
+    reward counters, the done proportion, and the ``top_n`` most frequent
+    (next_)observations. Works on both row-major (slots leading) and
+    feature-major (slots on the last axis) storage — the slot axis is
+    recognized by its length. ``plot=True`` draws the reference's
+    reward/action bar charts via matplotlib (lazy import).
+
+    Returns the counters for programmatic use; diagnostics only — runs on
+    host, never inside jit.
+    """
+    import collections
+
+    import numpy as np
+
+    storage = jax.device_get(state.storage)
+    size = int(state.size)
+    actions = np.asarray(storage["actions"]).reshape(-1)
+    slots = actions.shape[0]
+
+    def valid(arr):
+        arr = np.asarray(arr)
+        if arr.ndim == 1:
+            return arr[:size]
+        axis = next(i for i, s in enumerate(arr.shape) if s == slots)
+        return np.moveaxis(arr, axis, 0)[:size]
+
+    counters = collections.defaultdict(collections.Counter)
+    counters["action"].update(valid(actions).tolist())
+    counters["reward"].update(
+        np.round(valid(storage["rewards"]), 6).tolist())
+    dones = valid(storage["dones"]).astype(bool)
+    counters["done"].update(dones.tolist())
+    for field, key in (("obs", "state"), ("next_obs", "next_state")):
+        if field in storage:
+            rows = valid(storage[field])
+            counters[key].update(
+                tuple(np.round(row, 6).tolist()) for row in rows)
+
+    def top_states(counter):
+        for i, (obs, count) in enumerate(counter.most_common(top_n), 1):
+            label = str(np.asarray(obs)).replace("\n", " ")
+            if len(label) > max_col:
+                label = label[:max_col] + ".."
+            printer(f"{i:>2}) Count: {count} state: {label}")
+
+    printer(f"Replay memory: {size}/{slots} slots filled")
+    printer(f"Actions: {dict(counters['action'].most_common())}")
+    printer(f"Rewards: {dict(counters['reward'].most_common(top_n))}")
+    if "state" in counters:
+        printer("Top state:")
+        top_states(counters["state"])
+        printer("Top next_state:")
+        top_states(counters["next_state"])
+    done_frac = counters["done"][True] / max(1, size)
+    printer(f"Proportion of done: {100 * done_frac:.2f}%")
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(nrows=1, ncols=2, figsize=(12, 4))
+        for counter, ax, label in ((counters["reward"], ax1, "rewards"),
+                                   (counters["action"], ax2, "actions")):
+            pairs = counter.most_common()
+            total = sum(c for _, c in pairs) or 1
+            ax.bar(range(len(pairs)), [c / total for _, c in pairs])
+            ax.set_xticks(range(len(pairs)))
+            ax.set_xticklabels([str(k) for k, _ in pairs])
+            ax.set_ylabel("proportion")
+            ax.set_xlabel(label)
+            ax.set_title("Replay Memory")
+        plt.show()
+
+    return dict(counters)
 
 
 class ReplayBuffer:

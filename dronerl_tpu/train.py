@@ -186,7 +186,7 @@ def build_train_step(
         )
 
         carry = (rng, env_states, next_obs, ag_state, bstate, step + 1)
-        return carry, (rewards[:, 0], ag_state.epsilon)
+        return carry, (rewards[:, 0], ag_state.epsilon, loss)
 
     return tick
 
@@ -199,6 +199,7 @@ def build_train_step_fused(
     collect_drones: int,
     reset_env_every: int,
     interpret: bool = False,
+    rng_rounds: int = 20,
 ):
     """Feature-major scan body around the fused step+observe kernel.
 
@@ -210,9 +211,13 @@ def build_train_step_fused(
     The env state, observations and replay storage all live transposed
     (features on sublanes, envs/slots on lanes); the whole environment
     tick — per-env PRNG, physics, respawns, window observations — is ONE
-    kernel dispatch (ops/fused_tick.py). Semantics match
-    :func:`build_train_step`; only trainer-level PRNG consumption shapes
-    differ (documented there as non-contractual).
+    kernel dispatch (ops/fused_tick.py). Env-transition semantics match
+    :func:`build_train_step`; trainer-level PRNG consumption shapes
+    differ (non-contractual), and replay next_obs recovery is the
+    stream approximation documented on :class:`replay.StreamReplay` —
+    on the 1-in-``reset_env_every`` ticks that cross a periodic reset,
+    the sampled next_obs is the post-reset observation rather than the
+    pre-reset one the jnp engine stores.
     """
     from dronerl_tpu.ops import fused_tick
 
@@ -230,7 +235,8 @@ def build_train_step_fused(
         actions_t = actions_t.at[0].set(dqn_actions)
 
         tstate, rewards_t, dones_t, next_obs_t = fused_tick.tick_fused(
-            step_key, tstate, actions_t, env_params, k, interpret)
+            step_key, tstate, actions_t, env_params, k, interpret,
+            rng_rounds=rng_rounds)
 
         # Single-stream replay: only the CURRENT observation is stored;
         # next_obs is recovered at sample time as the slot one step later
@@ -279,7 +285,7 @@ def build_train_step_fused(
         )
 
         carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
-        return carry, (rewards_t[0], ag_state.epsilon)
+        return carry, (rewards_t[0], ag_state.epsilon, loss)
 
     return tick
 
@@ -353,7 +359,7 @@ def build_train_step_full(
             agent.decay_epsilon, lambda s: s, ag_state)
 
         carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
-        return carry, (rewards_t[0], ag_state.epsilon)
+        return carry, (rewards_t[0], ag_state.epsilon, loss)
 
     return tick
 
@@ -443,7 +449,7 @@ def build_train_step_ring(
 
         carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
                  ag_state, (), step + 1)
-        return carry, (rewards_t[0], ag_state.epsilon)
+        return carry, (rewards_t[0], ag_state.epsilon, loss)
 
     return tick
 
@@ -472,11 +478,48 @@ def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
 def fused_engine_supported(agent: DQN, env_params: EnvParams,
                            num_envs: int) -> bool:
     """Fused Pallas engine availability for this config + backend."""
-    from dronerl_tpu.ops import fused_tick
-
     on_tpu = jax.devices()[0].platform in ("tpu", "axon") or (
         "TPU" in jax.devices()[0].device_kind.upper())
-    return on_tpu and fused_tick.supports(env_params, num_envs)
+    return on_tpu and not fused_engine_problems(env_params, num_envs)
+
+
+def fused_engine_problems(env_params: EnvParams, num_envs: int) -> list:
+    """Human-readable reasons the fused engine can't run this config.
+
+    Used to fail fast with a descriptive error when ``--engine fused`` is
+    forced — unsupported configs would otherwise die deep inside Mosaic
+    with an opaque VMEM/layout error.
+    """
+    from dronerl_tpu.ops import fused_tick
+
+    problems = []
+    dev = jax.devices()[0]
+    if dev.platform not in ("tpu", "axon") and "TPU" not in dev.device_kind.upper():
+        problems.append(
+            f"backend is {dev.platform!r}, the fused Pallas kernels need a TPU "
+            f"(use --engine jnp, or auto)")
+    if env_params.wrapper != "window":
+        problems.append(
+            f"wrapper={env_params.wrapper!r} (only 'window' observations "
+            f"are implemented in-kernel)")
+    if env_params.num_cells > fused_tick.MAX_CELLS:
+        problems.append(
+            f"grid {env_params.grid_size}x{env_params.grid_size} = "
+            f"{env_params.num_cells} cells > {fused_tick.MAX_CELLS} "
+            f"(kernel sublane budget)")
+    if env_params.n_drones > fused_tick.MAX_DRONES:
+        problems.append(
+            f"n_drones={env_params.n_drones} > {fused_tick.MAX_DRONES}")
+    if env_params.num_packets < env_params.n_drones:
+        problems.append(
+            f"num_packets ({env_params.num_packets}) < n_drones "
+            f"({env_params.n_drones}) — the in-kernel respawn assumes at "
+            f"least one packet slot per drone")
+    if num_envs < 128:
+        problems.append(
+            f"num_envs={num_envs} < 128 (a lane block must fill; small "
+            f"batches belong on the jnp engine)")
+    return problems
 
 
 def evaluate(
@@ -527,7 +570,7 @@ def evaluate(
     return (mean, std), (rmean, rstd)
 
 
-def train(args) -> dict:
+def train(args, metrics_logger=None) -> dict:
     if args.coordinator_address or (args.num_processes or 0) > 1:
         from dronerl_tpu.parallel import initialize_distributed
 
@@ -539,6 +582,26 @@ def train(args) -> dict:
     setup_compilation_cache(args.jax_cache_dir)
     env_params = env_params_from_args(args)
     agent_config = agent_config_from_args(args)
+
+    # Weights-only warm start: the network topology comes from the
+    # checkpoint (like the reference's torch warm start, which rebuilds
+    # the factory from checkpoint metadata, reference: train_torch.py:70),
+    # training hyper-parameters stay CLI-controlled.
+    warm_params = None
+    if args.load_from_checkpoint:
+        from dronerl_tpu.interop import safetensors_io
+
+        ckpt_config, warm_params = safetensors_io.load_checkpoint(
+            args.load_from_checkpoint)
+        agent_config = agent_config.replace(
+            network_type=ckpt_config.network_type,
+            hidden_layers=ckpt_config.hidden_layers,
+            conv_layers=ckpt_config.conv_layers,
+            conv_dense_layers=ckpt_config.conv_dense_layers,
+        )
+        logger.info("Warm start from %s (%s network)",
+                    args.load_from_checkpoint, ckpt_config.network_type)
+
     logger.info("Env params: %s", env_params)
     logger.info("Agent config: %s", agent_config)
     logger.info("Devices (%d): %s", jax.device_count(), jax.devices())
@@ -553,6 +616,13 @@ def train(args) -> dict:
             entity=args.wandb_entity,
             config=vars(args),
         )
+
+    from dronerl_tpu.utils.metrics import NoLogger, build_logger
+
+    if metrics_logger is None:
+        metrics_logger = build_logger(
+            tensorboard_dir=args.tensorboard_dir, wandb_run=run)
+    log_metrics = not isinstance(metrics_logger, NoLogger)
 
     run_dir = args.run_dir or os.path.join(
         "output", f"run_{datetime.now().strftime('%Y%m%d_%H%M%S')}")
@@ -574,14 +644,25 @@ def train(args) -> dict:
                 "boundary ε decay is not defined across env shards)")
         mesh = make_env_mesh()
         ndev = mesh.devices.size
-        # The sharded fused tick runs the actor in-kernel (dense only).
+        if args.engine == "fused":
+            problems = fused_engine_problems(
+                env_params, args.num_envs // ndev)
+            if problems:
+                raise ValueError(
+                    "--engine fused is not available for this config:\n  - "
+                    + "\n  - ".join(problems))
+        # Dense nets run the actor in-kernel; conv nets keep the fused env
+        # kernel with the conv actor in XLA (same composition as the
+        # single-chip path).
         sharded_engine = "fused" if (
-            agent_config.network_type == "dense"
-            and (args.engine == "fused"
-                 or (args.engine == "auto" and fused_engine_supported(
-                     agent, env_params, args.num_envs // ndev)))
+            args.engine == "fused"
+            or (args.engine == "auto" and fused_engine_supported(
+                agent, env_params, args.num_envs // ndev))
         ) else "jnp"
         logger.info("Sharded engine: %s", sharded_engine)
+        if getattr(args, "fast_rng", False) and sharded_engine != "fused":
+            logger.warning("--fast_rng only affects the fused engines; "
+                           "the jnp engine always uses jax.random")
         trainer = DistributedTrainer(
             agent, env_params, mesh,
             num_envs=args.num_envs,
@@ -597,8 +678,8 @@ def train(args) -> dict:
         chunk_fn = trainer.build_chunk(scan_steps)
 
         def run_chunk(carry, _dummy):
-            carry, rewards = chunk_fn(carry)
-            return carry, (rewards, carry[-3].epsilon)
+            carry, (rewards, losses) = chunk_fn(carry)
+            return carry, (rewards, carry[-3].epsilon, losses)
     else:
         # Round capacity up to the per-step push size so replay writes hit
         # the contiguous fast path (see replay.push_many).
@@ -616,6 +697,12 @@ def train(args) -> dict:
             "next_obs": jnp.zeros((agent.obs_dim,), dtype=jnp.float32),
             "dones": jnp.array(False, dtype=jnp.bool_),
         }
+        if args.engine == "fused":
+            problems = fused_engine_problems(env_params, args.num_envs)
+            if problems:
+                raise ValueError(
+                    "--engine fused is not available for this config:\n  - "
+                    + "\n  - ".join(problems))
         use_fused = args.engine == "fused" or (
             args.engine == "auto"
             and fused_engine_supported(agent, env_params, args.num_envs))
@@ -666,7 +753,8 @@ def train(args) -> dict:
             else:
                 tick = build_train_step_fused(
                     agent, buffer, env_params, args.num_envs,
-                    args.collect_drones, args.reset_env_every)
+                    args.collect_drones, args.reset_env_every,
+                    rng_rounds=rng_rounds)
             state0 = fused_tick.to_tstate(env_states)
             obs0 = obs.reshape(
                 args.num_envs, args.collect_drones * agent.obs_dim).T
@@ -688,6 +776,14 @@ def train(args) -> dict:
 
         if state0 is not None:
             carry = (rng, state0, obs0, ag_state, bstate, jnp.array(0))
+    if warm_params is not None:
+        # Install the loaded weights into online + target nets; optimizer
+        # state and ε stay fresh (matching the reference's warm start,
+        # which rebuilds a fresh Adam around the loaded network).
+        params = jax.tree.map(jnp.asarray, warm_params)
+        carry = (*carry[:-3],
+                 agent.state_with_params(carry[-3], params),
+                 *carry[-2:])
     if args.resume_from:
         from dronerl_tpu.interop import train_state_io
 
@@ -713,9 +809,18 @@ def train(args) -> dict:
             logger.info(
                 "eval @ step %s: agent %.3f ± %.3f | random %.3f ± %.3f",
                 f"{step:,}", emean, estd, rmean, rstd)
-            if run:
-                run.log({"eval_reward": emean, "random_reward": rmean}, step=step)
-        carry, (rewards, epsilons) = run_chunk(carry, dummy)
+            metrics_logger.log_scalars(
+                {"eval_reward": emean, "random_reward": rmean}, step=step)
+        carry, (rewards, epsilons, losses) = run_chunk(carry, dummy)
+        if log_metrics:
+            # Per-chunk training curves (the reference logs ε + rewards
+            # between chunks, reference: train_jax.py:226-227,257-266);
+            # we also surface the TD loss the scan used to discard.
+            metrics_logger.log_scalars({
+                "train_reward": float(jnp.mean(rewards)),
+                "epsilon": float(jnp.ravel(epsilons)[-1]),
+                "td_loss": float(jnp.mean(losses)),
+            }, step=(chunk + 1) * scan_steps)
     # Hard host sync: a scalar readback is the only reliable completion
     # barrier on tunneled backends (block_until_ready may return early,
     # silently inflating the reported obs/s).
@@ -735,6 +840,14 @@ def train(args) -> dict:
         f"{obs_per_sec:,.0f}")
 
     ag_state = carry[-3]
+    if args.inspect_memory:
+        bstate = carry[-2]
+        if isinstance(bstate, replay.ReplayState):
+            replay.inspect_memory(bstate, printer=logger.info)
+        else:
+            logger.warning("--inspect_memory: the ring engine keeps no "
+                           "ReplayState (observations live in the aliased "
+                           "kernel ring); use --engine fused or jnp")
     if args.save_final_checkpoint:
         jax_path = os.path.join(
             run_dir, f"agent_{args.num_steps}_steps_jax.safetensors")
@@ -766,9 +879,9 @@ def train(args) -> dict:
         logger.info(
             "Final eval: agent %.3f ± %.3f | random %.3f ± %.3f",
             emean, estd, rmean, rstd)
-        if run:
-            run.log({"eval_reward": emean, "random_reward": rmean},
-                    step=args.num_steps)
+        metrics_logger.log_scalars(
+            {"eval_reward": emean, "random_reward": rmean},
+            step=args.num_steps)
 
     if args.render_video:
         from dronerl_tpu.render.video import render_policy_video
@@ -787,6 +900,7 @@ def train(args) -> dict:
 
     with open(os.path.join(run_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    metrics_logger.close()
     if run:
         run.finish()
     return metrics
@@ -848,6 +962,15 @@ def parse_args(argv=None):
              "spawn/exploration noise. Faster; env transitions are no "
              "longer bit-identical to the reference at fixed seeds")
     p.add_argument("--save_final_checkpoint", action="store_true")
+    p.add_argument(
+        "--load_from_checkpoint", type=str, default=None,
+        help="Warm-start the Q-network (online + target) from a "
+             "safetensors checkpoint; network topology is taken from the "
+             "checkpoint metadata")
+    p.add_argument(
+        "--tensorboard_dir", type=str, default=None,
+        help="Write per-chunk training curves (reward/ε/TD loss) and "
+             "eval points to TensorBoard under this directory")
     p.add_argument("--save_train_state", action="store_true",
                    help="Persist full training state (params/opt/ε/buffer/envs)")
     p.add_argument("--resume_from", type=str, default=None)
@@ -862,6 +985,9 @@ def parse_args(argv=None):
     p.add_argument("--run_dir", type=str, default=None)
     p.add_argument("--jax_cache_dir", type=str, default="./jax_cache")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--inspect_memory", action="store_true",
+                   help="Dump replay-buffer diagnostics (action/reward/done "
+                        "distributions, top states) after training")
     # model
     p.add_argument("--network_type", choices=["dense", "conv"], default="dense")
     p.add_argument("--hidden_layers", nargs="+", type=int, default=(16, 16))

@@ -75,11 +75,11 @@ def main():
         )
         carry = trainer.init_carry(jax.random.PRNGKey(0))
         chunk = trainer.build_chunk(args.steps)
-        carry, rewards = chunk(carry)  # compile + warm
+        carry, (rewards, _losses) = chunk(carry)  # compile + warm
         float(jnp.sum(rewards))        # hard sync
         t0 = time.perf_counter()
         for _ in range(args.repeats):
-            carry, rewards = chunk(carry)
+            carry, (rewards, _losses) = chunk(carry)
         float(jnp.sum(rewards))
         dt = time.perf_counter() - t0
         obs_per_s = args.envs_per_device * ndev * args.steps * args.repeats / dt

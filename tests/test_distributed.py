@@ -41,9 +41,11 @@ def test_chunk_advances_and_keeps_params_in_sync():
     _, trainer = make_trainer()
     carry = trainer.init_carry(jax.random.PRNGKey(0))
     chunk = trainer.build_chunk(scan_steps=12)
-    carry, rewards = chunk(carry)
+    carry, (rewards, losses) = chunk(carry)
     jax.block_until_ready(rewards)
     assert rewards.shape == (12, 16)
+    assert losses.shape == (12,)
+    assert np.isfinite(np.asarray(losses)).all()
     assert int(carry[-1]) == 12
     ag_state = carry[3]
     # params changed (training happened once buffers warmed)
@@ -76,21 +78,11 @@ def test_mesh_subset():
     _, trainer = make_trainer(n_devices=4, num_envs=8)
     carry = trainer.init_carry(jax.random.PRNGKey(1))
     chunk = trainer.build_chunk(scan_steps=3)
-    carry, rewards = chunk(carry)
+    carry, (rewards, _losses) = chunk(carry)
     assert rewards.shape == (3, 8)
 
 
-def test_fused_engine_chunk_interpret():
-    """Fused Pallas engine under shard_map: envs/replay shard on lanes,
-    learner params stay replicated through psum-synced updates."""
-    import numpy as np
-    from dronerl_tpu.parallel import DistributedTrainer, make_env_mesh
-    from dronerl_tpu.agents.dqn import DQN, DQNConfig
-    from dronerl_tpu.env.types import EnvParams
-
-    env_params = EnvParams(grid_size=9, n_drones=4)
-    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
-                          target_update_interval=5), env_params)
+def _run_fused_chunk(agent, env_params, scan_steps=3):
     mesh = make_env_mesh(8)
     trainer = DistributedTrainer(
         agent, env_params, mesh,
@@ -101,12 +93,40 @@ def test_fused_engine_chunk_interpret():
         interpret=True,
     )
     carry = trainer.init_carry(jax.random.PRNGKey(0))
-    chunk = trainer.build_chunk(scan_steps=3)
-    carry, rewards = chunk(carry)
-    assert rewards.shape == (3, 8 * 128)
+    chunk = trainer.build_chunk(scan_steps=scan_steps)
+    carry, (rewards, losses) = chunk(carry)
+    assert rewards.shape == (scan_steps, 8 * 128)
     assert np.isfinite(np.asarray(rewards)).all()
-    assert int(carry[-1]) == 3
+    assert np.isfinite(np.asarray(losses)).all()
+    assert int(carry[-1]) == scan_steps
     # params replicated: every shard applied identical psum-synced updates
     leaves = jax.tree.leaves(carry[3].params)
     for leaf in leaves:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.slow
+def test_fused_engine_chunk_interpret():
+    """Fused Pallas engine under shard_map: envs/replay shard on lanes,
+    learner params stay replicated through psum-synced updates."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    _run_fused_chunk(agent, env_params)
+
+
+@pytest.mark.slow
+def test_fused_engine_conv_chunk_interpret():
+    """Conv nets under the sharded fused engine: the fused env kernel
+    runs per shard with the conv actor in XLA (no silent jnp downgrade)."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(
+        DQNConfig(
+            network_type="conv",
+            conv_layers=({"out_channels": 4, "kernel_size": 3,
+                          "stride": 1, "padding": 1},),
+            conv_dense_layers=(8,),
+            epsilon_decay_every=5,
+            target_update_interval=5),
+        env_params)
+    _run_fused_chunk(agent, env_params)

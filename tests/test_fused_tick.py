@@ -35,6 +35,7 @@ def test_tstate_roundtrip():
     ],
     ids=["default", "collect2", "radius2"],
 )
+@pytest.mark.slow
 def test_tick_fused_matches_jnp_pipeline(params, collect):
     num_envs = 128
     rng = jax.random.PRNGKey(0)
@@ -218,12 +219,13 @@ def test_fused_trainer_tick_smoke_interpret():
     tick = build_train_step_fused(
         agent, buf, env_params, num_envs, 1, 100, interpret=True)
     for _ in range(3):
-        carry, (rewards, eps) = tick(carry, None)
+        carry, (rewards, eps, _loss) = tick(carry, None)
     assert rewards.shape == (num_envs,)
     assert np.isfinite(np.asarray(rewards)).all()
     assert float(eps) < 1.0  # ε decayed at least once
 
 
+@pytest.mark.slow
 def test_full_tick_fused_matches_jnp_mirror():
     """The all-in-one kernel (actor + step + obs + periodic reset) against
     a jnp mirror of its documented RNG contract."""
@@ -283,6 +285,7 @@ def test_full_tick_fused_matches_jnp_mirror():
         states, tstate, obs_t = exp_state, tstate2, obs_next
 
 
+@pytest.mark.slow
 def test_ring_trainer_interpret():
     """Ring engine under the interpreter: aliased ring writes preserve
     unwritten blocks, bookkeeping stays in range, training tick runs."""
@@ -300,7 +303,7 @@ def test_ring_trainer_interpret():
     carry = init_ring_carry(agent, params, E, cap, rng)
     obs0 = np.asarray(carry[1][1][:, :E])
     for t in range(3):
-        carry, (rew, eps) = tick(carry, None)
+        carry, (rew, eps, _loss) = tick(carry, None)
         assert np.isfinite(np.asarray(rew)).all(), t
     # after 3 ticks the ring holds obs_0..obs_3 in blocks 0..3; block 0
     # must still be the seeded initial observation (alias preserved)
@@ -342,10 +345,11 @@ def test_fused_trainer_conv_actor_interpret():
     tick = build_train_step_fused(
         agent, buf, env_params, num_envs, 1, 100, interpret=True)
     for _ in range(3):
-        carry, (rewards, eps) = tick(carry, None)
+        carry, (rewards, eps, _loss) = tick(carry, None)
     assert np.isfinite(np.asarray(rewards)).all()
 
 
+@pytest.mark.slow
 def test_fast_rng_mode():
     """Opt-in reduced-round RNG (rng_rounds=8): deterministic, diverges
     from the bit-parity stream, and every env invariant still holds."""

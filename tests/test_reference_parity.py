@@ -52,9 +52,18 @@ CONFIGS = [
 ]
 
 
+# Fast lane keeps one representative combo (the CLI-default config);
+# the full 8-combo matrix runs under `-m slow` / in the full CI job.
+_MATRIX = [
+    pytest.param(cfg, seed,
+                 marks=([] if (i, seed) == (1, 0) else [pytest.mark.slow]))
+    for i, cfg in enumerate(CONFIGS)
+    for seed in (0, 123)
+]
+
+
 @requires_reference
-@pytest.mark.parametrize("cfg", CONFIGS)
-@pytest.mark.parametrize("seed", [0, 123])
+@pytest.mark.parametrize("cfg,seed", _MATRIX)
 def test_bitwise_rollout_parity(cfg, seed):
     ours_params = EnvParams(**cfg)
     ref_params = RefParams(**cfg)

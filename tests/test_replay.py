@@ -98,3 +98,46 @@ def test_push_many_jit_in_scan():
     final, _ = jax.lax.scan(body, state, jnp.arange(10))
     assert int(final.size) == 16
     assert int(final.cursor) == 4
+
+
+def test_inspect_memory_row_major():
+    """Diagnostics report action/reward/done distributions and top states
+    (counterpart of the reference's inspect_memory, reference:
+    torch_impl/agents/dqn.py:427-494)."""
+    buf = replay.ReplayBuffer(capacity=10, batch_size=4)
+    state = buf.init(template())
+    for i in range(6):
+        state = buf.push(state, exp(i % 2))  # two distinct states, 3x each
+    lines = []
+    counters = replay.inspect_memory(state, top_n=3,
+                                     printer=lambda s: lines.append(str(s)))
+    assert sum(counters["action"].values()) == 6
+    assert counters["action"][0] == 3 and counters["action"][1] == 3
+    # exp(i) sets done = (i % 2 == 0): half the entries
+    assert counters["done"][True] == 3 and counters["done"][False] == 3
+    assert len(counters["state"]) == 2
+    assert counters["state"].most_common(1)[0][1] == 3
+    assert any("Proportion of done" in ln for ln in lines)
+
+
+def test_inspect_memory_feature_major():
+    """Feature-major storage (slots on the last axis) is recognized."""
+    obs_dim, stride = 4, 2
+    buf = replay.StreamReplay(capacity=8, batch_size=2, stride=stride)
+    state = buf.init({
+        "obs": jnp.zeros((obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    })
+    for i in range(3):
+        state = buf.push_many(state, {
+            "obs": jnp.full((obs_dim, stride), float(i)),
+            "actions": jnp.full((stride,), i, jnp.int32),
+            "rewards": jnp.full((stride,), float(i)),
+            "dones": jnp.zeros((stride,), jnp.bool_),
+        })
+    counters = replay.inspect_memory(state, printer=lambda s: None)
+    assert sum(counters["action"].values()) == 6
+    assert counters["action"][2] == 2
+    assert len(counters["state"]) == 3  # three distinct obs vectors

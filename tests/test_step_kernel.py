@@ -62,6 +62,7 @@ def _assert_states_equal(a, b, context):
         assert (av == bv).all(), f"{context}: field {field} diverged"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "params",
     [
@@ -91,6 +92,7 @@ def test_fused_step_matches_jnp_rollout(params):
         states = st_ref
 
 
+@pytest.mark.slow
 def test_fused_step_tight_board_overfull_tail():
     """Boards where respawn slots exceed vacant cells exercise the top_k
     -inf tail emulation (writes land on occupied cells, index-ascending)."""

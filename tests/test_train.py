@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -71,6 +72,105 @@ def test_save_and_resume_train_state(tmp_path):
     resume_args.resume_from = state_path
     metrics = train_mod.train(resume_args)
     assert metrics["obs_per_sec"] > 0
+
+
+def test_resume_bitwise_equivalence(tmp_path):
+    """train(2N) ≡ train(N) + resume + train(N): the final serialized
+    carries (params, opt state, ε, buffer, env states, step) must be
+    bitwise identical. ε decay is pinned explicitly because the derived
+    decay depends on --num_steps."""
+    from flax import serialization
+
+    common = dict(skip_final_eval=True, save_train_state=True,
+                  epsilon_decay=0.995)
+    full = make_args(tmp_path, num_steps=60,
+                     run_dir=str(tmp_path / "full"), **common)
+    train_mod.train(full)
+
+    half1 = make_args(tmp_path, num_steps=30,
+                      run_dir=str(tmp_path / "half1"), **common)
+    train_mod.train(half1)
+    half2 = make_args(tmp_path, num_steps=30,
+                      run_dir=str(tmp_path / "half2"), **common)
+    half2.resume_from = os.path.join(half1.run_dir, "train_state.msgpack")
+    train_mod.train(half2)
+
+    def load(run_dir):
+        with open(os.path.join(run_dir, "train_state.msgpack"), "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    a, b = load(full.run_dir), load(half2.run_dir)
+    leaves_a, treedef_a = jax.tree.flatten(a)
+    leaves_b, treedef_b = jax.tree.flatten(b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_warm_start_installs_checkpoint_params(tmp_path):
+    """--load_from_checkpoint seeds online + target nets from the file;
+    network topology comes from the checkpoint metadata, not the CLI."""
+    from safetensors.numpy import load_file
+
+    src = make_args(tmp_path, num_steps=20, skip_final_eval=True,
+                    save_final_checkpoint=True,
+                    hidden_layers=(12, 6),  # differs from the CLI default
+                    run_dir=str(tmp_path / "src"))
+    train_mod.train(src)
+    ckpt = os.path.join(src.run_dir, "agent_20_steps_jax.safetensors")
+    assert os.path.exists(ckpt)
+
+    # 2 steps x 2 envs < batch_size pushes: no gradient step happens, so
+    # the final save must equal the warm-start source exactly.
+    warm = make_args(tmp_path, num_steps=2, skip_final_eval=True,
+                     save_final_checkpoint=True,
+                     run_dir=str(tmp_path / "warm"))
+    warm.load_from_checkpoint = ckpt
+    train_mod.train(warm)
+    out = os.path.join(warm.run_dir, "agent_2_steps_jax.safetensors")
+
+    src_tensors = load_file(ckpt)
+    out_tensors = load_file(out)
+    assert set(src_tensors) == set(out_tensors)  # (12, 6) topology kept
+    for key in src_tensors:
+        np.testing.assert_array_equal(src_tensors[key], out_tensors[key])
+
+
+class ProbeLogger:
+    def __init__(self):
+        self.records = []
+
+    def log_scalar(self, tag, value, step):
+        self.records.append((tag, value, step))
+
+    def log_scalars(self, values, step):
+        for tag, value in values.items():
+            self.log_scalar(tag, value, step)
+
+    def log_histogram(self, tag, values, step):
+        pass
+
+    def close(self):
+        pass
+
+
+def test_per_chunk_metrics_logged(tmp_path):
+    """The trainer logs per-chunk mean reward, ε and TD loss through the
+    pluggable logging layer (one record per scan chunk)."""
+    args = make_args(tmp_path, num_steps=40, max_scan_steps=10,
+                     skip_final_eval=True)
+    probe = ProbeLogger()
+    train_mod.train(args, metrics_logger=probe)
+    by_tag = {}
+    for tag, value, step in probe.records:
+        by_tag.setdefault(tag, []).append((step, value))
+    assert set(by_tag) >= {"train_reward", "epsilon", "td_loss"}
+    for tag in ("train_reward", "epsilon", "td_loss"):
+        assert [s for s, _ in by_tag[tag]] == [10, 20, 30, 40]
+        assert all(np.isfinite(v) for _, v in by_tag[tag])
+    # ε actually decays over chunks
+    eps = [v for _, v in by_tag["epsilon"]]
+    assert eps[-1] < eps[0]
 
 
 def test_eval_returns_reasonable_stats(tmp_path):
