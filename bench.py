@@ -48,7 +48,11 @@ def main():
     tick = build_train_step_ring(
         agent, env_params, NUM_ENVS, capacity, batch_size=8,
         reset_env_every=100)
-    carry = init_ring_carry(agent, env_params, NUM_ENVS, capacity, rng)
+    # bf16 ring storage (the trainer default): halves the kernel's
+    # per-step obs write; env transitions stay bit-exact — the ring only
+    # feeds actor/learner matmuls, which round to bf16 on the MXU anyway.
+    carry = init_ring_carry(agent, env_params, NUM_ENVS, capacity, rng,
+                            obs_dtype=jnp.bfloat16)
 
     @jax.jit
     def run(carry, dummy):

@@ -373,7 +373,12 @@ def build_train_step_ring(
     reset_env_every: int,
     interpret: bool = False,
     rng_rounds: int = 20,
+    sample_before_kernel: bool = False,
 ):
+    # The ring dtype is whatever init_ring_carry allocated (obs_dtype):
+    # bf16 halves the kernel's per-step HBM obs write; the actor and TD
+    # learner always compute in f32 (MXU matmuls round f32 operands to
+    # bf16 internally, so nothing is lost on the compute path).
     """Scan body where the replay ring IS the kernel's observation buffer.
 
     The all-in-one kernel (fused_tick.full_tick_fused_ring) reads this
@@ -402,6 +407,35 @@ def build_train_step_ring(
 
         read_slot = (step % nb) * num_envs
         write_slot = ((step + 1) % nb) * num_envs
+
+        def gather_batch(ring, valid, base_step):
+            """Uniform sample over ``valid`` slots starting at base_step."""
+            base_slot = (base_step % nb) * num_envs
+            raw = jax.random.randint(
+                sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+            phys = (base_slot + raw) % capacity
+            nxt = (phys + num_envs) % capacity
+            return {
+                "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
+                "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
+                "actions": jnp.take(a_ring, phys, axis=0),
+                "rewards": jnp.take(r_ring, phys, axis=0),
+                "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
+            }
+
+        if sample_before_kernel:
+            # Gather BEFORE the aliased kernel touches the ring.
+            # Measured equivalent to sampling after (scripts/
+            # ring_experiments.py; XLA inserts no ring copy either way —
+            # PERF.md "Ring sampling order"), so the default stays False:
+            # sampling after sees one step more data and works for
+            # 2-step rings (here nb=2 would never warm up).
+            # Complete tuples at entry of tick t: steps
+            # [max(0, t+2-nb), t-1] (slot (t+1)%nb is overwritten by this
+            # tick's write, so transitions touching it are excluded).
+            valid = jnp.minimum(step, nb - 2) * num_envs
+            batch = gather_batch(ring, valid, jnp.maximum(0, step + 2 - nb))
+
         tstate, rewards_t, dones_t, actions_t, ring = (
             fused_tick.full_tick_fused_ring(
                 step_key, tstate, ring, read_slot, write_slot,
@@ -417,22 +451,11 @@ def build_train_step_ring(
         d_ring = jax.lax.dynamic_update_slice(
             d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
 
-        # Complete tuples after tick t: steps [max(0, t+2-nb), t] — the
-        # newest ring write overwrote the oldest observation.
-        valid = jnp.minimum(step + 1, nb - 1) * num_envs
-        base_step = jnp.maximum(0, step + 2 - nb)
-        base_slot = (base_step % nb) * num_envs
-        raw = jax.random.randint(
-            sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
-        phys = (base_slot + raw) % capacity
-        nxt = (phys + num_envs) % capacity
-        batch = {
-            "obs": jnp.take(ring, phys, axis=1),
-            "next_obs": jnp.take(ring, nxt, axis=1),
-            "actions": jnp.take(a_ring, phys, axis=0),
-            "rewards": jnp.take(r_ring, phys, axis=0),
-            "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
-        }
+        if not sample_before_kernel:
+            # Complete tuples after tick t: steps [max(0, t+2-nb), t] —
+            # the newest ring write overwrote the oldest observation.
+            valid = jnp.minimum(step + 1, nb - 1) * num_envs
+            batch = gather_batch(ring, valid, jnp.maximum(0, step + 2 - nb))
 
         ag_state, loss = jax.lax.cond(
             valid >= batch_size,
@@ -455,7 +478,8 @@ def build_train_step_ring(
 
 
 def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
-                    capacity: int, rng: jax.Array):
+                    capacity: int, rng: jax.Array,
+                    obs_dtype=jnp.float32):
     """Initial carry for :func:`build_train_step_ring`."""
     from dronerl_tpu.ops import fused_tick
 
@@ -463,8 +487,8 @@ def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
     tstate = fused_tick.to_tstate(env_states)
     obs0 = env_core.observe_batch(env_states, env_params, 1).reshape(
         num_envs, agent.obs_dim).T
-    ring = jnp.zeros((agent.obs_dim, capacity), jnp.float32)
-    ring = jax.lax.dynamic_update_slice(ring, obs0, (0, 0))
+    ring = jnp.zeros((agent.obs_dim, capacity), obs_dtype)
+    ring = jax.lax.dynamic_update_slice(ring, obs0.astype(obs_dtype), (0, 0))
     ag_state = agent.init_state(rng)
     return (
         rng, (tstate, ring),
@@ -726,12 +750,17 @@ def train(args, metrics_logger=None) -> dict:
         logger.info("Engine: %s", engine_name)
         if use_ring:
             # Ring engine: the replay ring is the kernel's obs buffer.
+            # bf16 obs storage halves the kernel's ring write (+3-7%
+            # obs/s measured, PERF.md); env transitions stay bit-exact
+            # (the ring only feeds the actor/learner matmuls, which
+            # round to bf16 on the MXU anyway).
             tick = build_train_step_ring(
                 agent, env_params, args.num_envs, ring_capacity,
                 args.batch_size, args.reset_env_every,
                 rng_rounds=rng_rounds)
             carry = init_ring_carry(
-                agent, env_params, args.num_envs, ring_capacity, rng)
+                agent, env_params, args.num_envs, ring_capacity, rng,
+                obs_dtype=jnp.dtype(args.ring_obs_dtype))
             state0 = None
         elif use_fused:
             from dronerl_tpu.ops import fused_tick
@@ -956,6 +985,11 @@ def parse_args(argv=None):
         help="Training engine: fused Pallas step+observe kernel (TPU, "
              "dense nets) or the pure-jnp path; auto picks fused when "
              "supported")
+    p.add_argument(
+        "--ring_obs_dtype", choices=["bfloat16", "float32"],
+        default="bfloat16",
+        help="Ring-engine observation storage dtype. bf16 halves the "
+             "per-step HBM obs write; actor/learner still compute in f32")
     p.add_argument(
         "--fast_rng", action="store_true",
         help="Fused engines only: reduced-round Threefry-2x32-8 for "

@@ -40,9 +40,9 @@ def cpu_env(pythonpath: str) -> dict:
     return env
 
 
-def run_reference(seed: int, num_steps: int) -> dict:
+def run_reference(seed: int, num_steps: int, extra=()) -> dict:
     cmd = [sys.executable, "train_jax.py",
-           "--seed", str(seed), "--num_steps", str(num_steps)]
+           "--seed", str(seed), "--num_steps", str(num_steps), *extra]
     t0 = time.time()
     proc = subprocess.run(
         cmd, cwd=REFERENCE, env=cpu_env(f"{STUBS}:{REFERENCE}"),
@@ -61,13 +61,14 @@ def run_reference(seed: int, num_steps: int) -> dict:
     }
 
 
-def run_repo(seed: int, num_steps: int) -> dict:
-    run_dir = os.path.join(REPO, "output", f"parity_seed{seed}")
+def run_repo(seed: int, num_steps: int, extra=(), tag="") -> dict:
+    run_dir = os.path.join(REPO, "output", f"parity{tag}_seed{seed}")
+    argv = ["--seed", str(seed), "--num_steps", str(num_steps),
+            "--run_dir", run_dir, *extra]
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "from dronerl_tpu.train import main;"
-        f"main(['--seed', '{seed}', '--num_steps', '{num_steps}',"
-        f" '--run_dir', {run_dir!r}])")
+        f"main({argv!r})")
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-c", code], cwd=REPO, env=cpu_env(REPO),
@@ -99,11 +100,22 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--num_steps", type=int, default=50_000)
     p.add_argument("--seeds", nargs="+", type=int, default=[0, 1, 2])
+    p.add_argument("--network_type", choices=["dense", "conv"],
+                   default="dense",
+                   help="conv writes to quality_parity_results_conv.json")
     args = p.parse_args()
+
+    global RESULTS
+    extra = ()
+    net_desc = "dense (16,16)"
+    if args.network_type == "conv":
+        RESULTS = RESULTS.replace(".json", "_conv.json")
+        extra = ("--network_type", "conv")
+        net_desc = "conv (8ch 3x3, CLI default)"
 
     results = {"config": {
         "num_steps": args.num_steps, "seeds": args.seeds,
-        "trainer_config": "CLI defaults: grid 9, 4 drones, dense (16,16), "
+        "trainer_config": f"CLI defaults: grid 9, 4 drones, {net_desc}, "
                           "num_envs 1, batch 8, lr 1e-3, gamma 0.9",
         "eval": "5 greedy episodes x 10k steps, eval seeds 0-4",
     }, "reference": [], "repo": []}
@@ -113,15 +125,18 @@ def main() -> None:
         if prev.get("config", {}).get("num_steps") == args.num_steps:
             results = prev
 
+    tag = "" if args.network_type == "dense" else "_conv"
     for seed in args.seeds:
         if not any(r["seed"] == seed for r in results["repo"]):
             print(f"[repo] seed {seed} ...", flush=True)
-            results["repo"].append(run_repo(seed, args.num_steps))
+            results["repo"].append(
+                run_repo(seed, args.num_steps, extra, tag))
             save(results)
             print(f"[repo] seed {seed}: {results['repo'][-1]}", flush=True)
         if not any(r["seed"] == seed for r in results["reference"]):
             print(f"[ref ] seed {seed} ...", flush=True)
-            results["reference"].append(run_reference(seed, args.num_steps))
+            results["reference"].append(
+                run_reference(seed, args.num_steps, extra))
             save(results)
             print(f"[ref ] seed {seed}: {results['reference'][-1]}", flush=True)
 

@@ -23,13 +23,16 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(REPO, "scripts", "quality_parity_results.json")
+RESULTS_CONV = os.path.join(
+    REPO, "scripts", "quality_parity_results_conv.json")
 
 
-@pytest.fixture(scope="module")
-def results():
-    if not os.path.exists(RESULTS):
-        pytest.skip("quality parity experiment has not been run")
-    with open(RESULTS) as f:
+@pytest.fixture(scope="module", params=["dense", "conv"])
+def results(request):
+    path = RESULTS if request.param == "dense" else RESULTS_CONV
+    if not os.path.exists(path):
+        pytest.skip(f"{request.param} quality parity experiment not run")
+    with open(path) as f:
         return json.load(f)
 
 
@@ -56,9 +59,13 @@ def test_recorded_parity_within_seed_variance(results):
 
 
 @pytest.mark.slow
-def test_fresh_repo_run_lands_in_reference_band(results, tmp_path):
-    """Train 50k steps at the matched config NOW and assert the final
-    eval reward still falls inside the frozen reference seed band."""
+def test_fresh_repo_run_lands_in_reference_band(tmp_path):
+    """Train 50k steps at the matched (dense) config NOW and assert the
+    final eval reward still falls inside the frozen reference seed band."""
+    if not os.path.exists(RESULTS):
+        pytest.skip("dense quality parity experiment not run")
+    with open(RESULTS) as f:
+        results = json.load(f)
     num_steps = results["config"]["num_steps"]
     run_dir = str(tmp_path / "fresh")
     code = (
