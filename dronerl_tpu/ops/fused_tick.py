@@ -31,6 +31,15 @@ Structural wins over the row-major kernel:
   board has fewer vacant cells than slots — with one strictly-lower-
   triangular matmul that ranks occupied cells by index (the top_k -inf
   tail order) and erases exactly those ranked in [n, k).
+* **Single-reduce spawn rounds** (≤128-cell boards): each round's
+  argmax-with-index-tie-break is ONE max-reduce over an int32 composite
+  of the uniform's raw mantissa bits and the cell index (see _Picker) —
+  selection order provably identical to the float path.
+* **Separable window encoder**: each of the 2r+1 window rows is
+  extracted once (masked sum over the g grid-row slices of the packed
+  code+charge field), then every window column is a g-term select —
+  ~5× less VPU work than per-position full-grid point reads, with
+  bit-identical outputs (every sum has at most one non-zero term).
 
 Bit-exactness: the env-side contract equals
 ``vmap(core.step)(jax.random.split(step_key, E), ...)`` plus
@@ -122,11 +131,17 @@ def _bits_to_unit_float(bits):
     return jax.lax.bitcast_convert_type(fbits, jnp.float32) - 1.0
 
 
-def _uniform_cells_multi(key_pairs, num_cells, rounds=20):
+def _uniform_cells_multi(key_pairs, num_cells, rounds=20, as_bits=False):
     """k uniform(key_i, (C,)) fields in ONE threefry pass.
 
     ``key_pairs``: sequence of ((1,E),(1,E)) uint32 word pairs. Equals
     ``[jax.random.uniform(key_i, (C,)) for i]`` per lane.
+
+    ``as_bits=True`` returns the raw 23-bit mantissa integers (int32)
+    instead of floats. The float is ``bitcast(bits|0x3f800000) - 1`` —
+    strictly monotone in the bits — so any selection by score order is
+    identical on either representation, and the integer form composites
+    with the cell index for single-reduce argmax rounds (_GridOps).
     """
     m = len(key_pairs)
     counts = jax.lax.broadcasted_iota(
@@ -139,7 +154,11 @@ def _uniform_cells_multi(key_pairs, num_cells, rounds=20):
         [jnp.broadcast_to(kb, (num_cells, width)) for _, kb in key_pairs],
         axis=0)
     b1, b2 = threefry2x32(k1, k2, jnp.zeros_like(counts), counts, rounds)
-    u = _bits_to_unit_float(b1 ^ b2)
+    bits = b1 ^ b2
+    if as_bits:
+        u = (bits >> _U32(9)).astype(jnp.int32)
+    else:
+        u = _bits_to_unit_float(bits)
     return [u[i * num_cells : (i + 1) * num_cells] for i in range(m)]
 
 
@@ -156,6 +175,12 @@ class _GridOps:
         self.cell = jax.lax.broadcasted_iota(jnp.int32, (self.c, 1), 0)
         self.cell_f = self.cell.astype(jnp.float32)
         self.neg_inf = jnp.float32(-jnp.inf)
+        # Integer-composite spawn selection (boards ≤ 128 cells): score
+        # and index tie-break packed into one int32 so each argmax-and-
+        # retire round is ONE max-reduce (see _Picker). Larger boards
+        # fall back to the float two-reduce path.
+        self.int_spawn = self.c <= 128
+        self.idx_tag = 127 - self.cell  # (c, 1) int32, low 7 bits
         # Strictly-lower-triangular ones: index-rank among a mask via matmul.
         self.tri = (
             jax.lax.broadcasted_iota(jnp.int32, (self.c, self.c), 1)
@@ -183,22 +208,33 @@ class _GridOps:
 
     def last_writer_mask(self, rows_d, cols_d, flags):
         """zeros.at[rows, cols].set(flags): wrap, drop OOB, last wins."""
+        return self.last_writer_masks(rows_d, cols_d, (flags,))[0]
+
+    def last_writer_masks(self, rows_d, cols_d, flags_list):
+        """Several .at[rows, cols].set(flags_k) masks sharing ONE set of
+        per-drone cell compares (the compares dominate the cost)."""
         g = self.g
         rows_w = jnp.where(rows_d < 0, rows_d + g, rows_d)
         cols_w = jnp.where(cols_d < 0, cols_d + g, cols_d)
         valid = (rows_w >= 0) & (rows_w < g) & (cols_w >= 0) & (cols_w < g)
         flat = rows_w * g + cols_w
         writes = (self.cell == self.row(flat, 0)) & self.row(valid, 0)
-        mask = writes & self.row(flags, 0)
+        masks = [writes & self.row(flags, 0) for flags in flags_list]
         for i in range(1, self.n):
             writes = (self.cell == self.row(flat, i)) & self.row(valid, i)
-            mask = (writes & self.row(flags, i)) | (~writes & mask)
-        return mask
+            masks = [
+                (writes & self.row(flags, i)) | (~writes & mask)
+                for flags, mask in zip(flags_list, masks)
+            ]
+        return masks
 
     def sentinel(self, u, valid):
         """where(valid, u, -inf) with the tail totally ordered by index:
         invalid cells score -1 - index, below every u ∈ [0, 1)."""
         return jnp.where(valid, u, -1.0 - self.cell_f)
+
+    def picker(self, u, valid):
+        return _Picker(self, u, valid)
 
     def ground_respawn(self, ground, u, fill_rows):
         """n argmax rounds + tail-erase == the reference's k-slot spawn."""
@@ -212,20 +248,18 @@ class _GridOps:
             preferred_element_type=jnp.float32)
         overall = rank_occ + n_vacant  # occupied cell's top_k rank
         erase = (~vac) & (overall >= float(n)) & (overall < float(k_spawn))
-        scores = self.sentinel(u, vac)
+        pick = self.picker(u, vac)
         for fill in fill_rows:
-            chosen = self.cell == self.argmax_lowest(scores)
+            chosen, _ = pick.next()
             ground = jnp.where(chosen, fill, ground)
-            scores = jnp.where(chosen, self.neg_inf, scores)
         return jnp.where(erase, 0.0, ground)
 
     def constant_fill_spawn(self, ground, u, code, count):
         """k rounds with one constant non-zero fill (the reset spawns)."""
-        scores = self.sentinel(u, ground == 0)
+        pick = self.picker(u, ground == 0)
         for _ in range(count):
-            chosen = self.cell == self.argmax_lowest(scores)
+            chosen, _ = pick.next()
             ground = jnp.where(chosen, float(code), ground)
-            scores = jnp.where(chosen, self.neg_inf, scores)
         return ground
 
     def air_spawn(self, u, air_x, air_y, exclude_ground):
@@ -238,16 +272,56 @@ class _GridOps:
             occupied = occupied | (self.cell == self.row(occ_flat, i))
         open_cells = ~occupied & (
             exclude_ground != Object.SKYSCRAPER.value)
-        scores = self.sentinel(u, open_cells)
+        pick = self.picker(u, open_cells)
         cand_rows = []
         for _ in range(self.n):
-            chosen_idx = self.argmax_lowest(scores)
+            _, chosen_idx = pick.next()
             cand_rows.append(chosen_idx)
-            scores = jnp.where(self.cell == chosen_idx, self.neg_inf, scores)
         cand = jnp.concatenate(cand_rows, axis=0)          # (N, B)
         new_x = jnp.where(air_x == -1, cand // g, air_x)
         new_y = jnp.where(air_y == -1, cand % g, air_y)
         return new_x, new_y
+
+
+class _Picker:
+    """Iterated argmax-and-retire over spawn scores.
+
+    Integer mode (≤128-cell boards): the score is the uniform's raw
+    23-bit mantissa composited with an index tag, ``(u23 << 7) |
+    (127 - idx)`` — score order is identical to the float order (the
+    float is a strictly monotone map of the bits) and the tag makes
+    every cell's composite unique, so one max-reduce both selects the
+    winner and breaks ties toward the LOWEST index exactly like
+    ``top_k``'s stable order. Invalid cells sit in a
+    ``-(1<<30) + tag`` band (ordered by index, below all valid);
+    retired cells drop to an ``INT32_MIN + tag`` band below that —
+    reproducing the reference's -inf ladder semantics. Float mode is
+    the original two-reduce path (kept for big boards).
+    """
+
+    def __init__(self, ops: "_GridOps", u, valid):
+        self.ops = ops
+        if ops.int_spawn:
+            self.comp = jnp.where(
+                valid, (u << 7) | ops.idx_tag,
+                ops.idx_tag - jnp.int32(1 << 30))
+        else:
+            self.scores = ops.sentinel(u, valid)
+
+    def next(self):
+        ops = self.ops
+        if ops.int_spawn:
+            best = jnp.max(self.comp, axis=0, keepdims=True)
+            chosen = self.comp == best  # composites are unique per cell
+            # bands are multiples of 128, so the tag survives the & 127
+            idx = 127 - (best & 127)
+            self.comp = jnp.where(
+                chosen, ops.idx_tag + jnp.int32(-(1 << 31)), self.comp)
+        else:
+            idx = ops.argmax_lowest(self.scores)
+            chosen = ops.cell == idx
+            self.scores = jnp.where(chosen, ops.neg_inf, self.scores)
+        return chosen, idx
 
 
 def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
@@ -310,11 +384,13 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
     # --- pickup / delivery ---------------------------------------------------
     picked_up = (
         (target_cell == Object.PACKET.value) & survivors & ~orig_carrying)
-    lifted = ops.last_writer_mask(new_y, new_x, picked_up)
-    ground = jnp.where(lifted, 0.0, orig_ground)
     carrying = (orig_carrying & survivors) | picked_up
     at_dropzone = (target_cell == Object.DROPZONE.value) & survivors
     delivered = at_dropzone & orig_carrying
+    # One compare pass serves both scatter masks (same coordinates).
+    lifted, consumed = ops.last_writer_masks(
+        new_y, new_x, (picked_up, delivered))
+    ground = jnp.where(lifted, 0.0, orig_ground)
     carrying = carrying & ~delivered
 
     # --- packet + dropzone respawns (shared uniform field — key quirk) --------
@@ -322,7 +398,6 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
     fills_p = [
         row(needs_packet, s) * float(Object.PACKET.value) for s in range(n)]
     ground = ops.ground_respawn(ground, u_ground, fills_p)
-    consumed = ops.last_writer_mask(new_y, new_x, delivered)
     ground = jnp.where(consumed, 0.0, ground)
     fills_d = [
         row(delivered, s) * float(Object.DROPZONE.value) for s in range(n)]
@@ -435,7 +510,8 @@ def _reset_envs(ops: _GridOps, rk1, rk2):
     for _ in range(5):
         (k1, k2), (p1, p2) = _split_rows_wide(k1, k2, ops.rounds)
         placement_pairs.append((p1, p2))
-    us = _uniform_cells_multi(placement_pairs, c, ops.rounds)
+    us = _uniform_cells_multi(
+        placement_pairs, c, ops.rounds, as_bits=ops.int_spawn)
 
     ground = jnp.zeros((c, 1), jnp.float32) * jnp.zeros((1, block), jnp.float32)
     for (count, code), u in zip(
@@ -499,7 +575,7 @@ def _tick_kernel(key_ref, ground_ref, ax_ref, ay_ref, carry_ref, charge_ref,
     (_, _), (ak1, ak2) = _split_rows(nk1, nk2, rng_rounds)
     # u_ground is shared by the packet AND dropzone respawns (key quirk).
     u_ground, u_air = _uniform_cells_multi(
-        [(rk1, rk2), (ak1, ak2)], c, rng_rounds)
+        [(rk1, rk2), (ak1, ak2)], c, rng_rounds, as_bits=ops.int_spawn)
 
     results = _physics_and_observe(
         ops, collect, u_ground, u_air,
@@ -571,7 +647,7 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
     (nk1, nk2), (rk1, rk2) = _split_rows(ek1, ek2, rng_rounds)
     (_, _), (ak1, ak2) = _split_rows(nk1, nk2, rng_rounds)
     u_ground, u_air = _uniform_cells_multi(
-        [(rk1, rk2), (ak1, ak2)], c, rng_rounds)
+        [(rk1, rk2), (ak1, ak2)], c, rng_rounds, as_bits=ops.int_spawn)
 
     # --- in-kernel ε-greedy actor + random opponents ----------------------
     # (N+1, B) uniforms from the actor key: row 0 gates exploration, rows

@@ -32,8 +32,11 @@ def test_tstate_roundtrip():
         (EnvParams(grid_size=9, n_drones=4), 1),
         (EnvParams(grid_size=8, n_drones=3), 2),
         (EnvParams(grid_size=9, n_drones=4, window_radius=2), 1),
+        # >128 cells: exercises the float spawn-picker fallback
+        # (the integer-composite picker covers boards ≤ 128 cells)
+        (EnvParams(grid_size=12, n_drones=4), 1),
     ],
-    ids=["default", "collect2", "radius2"],
+    ids=["default", "collect2", "radius2", "biggrid"],
 )
 @pytest.mark.slow
 def test_tick_fused_matches_jnp_pipeline(params, collect):
