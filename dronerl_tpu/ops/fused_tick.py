@@ -78,6 +78,20 @@ from dronerl_tpu.ops.step_kernel import threefry2x32
 MAX_CELLS = 256
 MAX_DRONES = 32
 _LANE_BLOCK = 1024
+# Lane-block cap for the all-in-one kernels (actor + physics + obs [+
+# ring]). Ablation showed the step is pipeline-bound, not compute-bound:
+# per-grid-step overhead dominates, so fewer/bigger blocks win as long
+# as the block fits VMEM (see PERF.md "Kernel ablation").
+_FULL_KERNEL_MAX_BLOCK = 512
+
+# The default Mosaic scoped-VMEM budget (~16MB) caps the full kernels at
+# 512-lane blocks; the chip has far more VMEM, and the step is pipeline-
+# bound (fewer, bigger blocks win), so the kernels request a higher cap.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 _U32 = jnp.uint32
 
@@ -196,7 +210,16 @@ class _GridOps:
         return x[i : i + 1, :]
 
     def point_read(self, field, flat_idx_row):
-        """field (C, E) read at (1, E) indices → (1, E)."""
+        """field (C, E) read at (1, E) indices → (1, E).
+
+        Deliberately ONE compare+select+reduce over the full cell axis: a
+        two-stage row-extract/column-select variant (like the window
+        encoder's) was measured 19% SLOWER end-to-end — for a single
+        read the 7× op-count increase outweighs the 3× tile savings
+        (per-op overhead dominates small-shape Mosaic code). The window
+        encoder's version wins only because 2r+1 columns share each
+        extracted row.
+        """
         sel = self.cell == flat_idx_row
         return jnp.sum(jnp.where(sel, field, 0.0), axis=0, keepdims=True)
 
@@ -800,6 +823,7 @@ def tick_fused(
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(
         key_i32,
         tstate.ground, tstate.air_x, tstate.air_y, tstate.carrying,
@@ -860,7 +884,7 @@ def full_tick_fused(
     # The predicated reset branch adds ~5 uniform fields + a second obs
     # encoding to the kernel's live set; halve the lane block to stay
     # under the 16MB scoped-VMEM limit.
-    block = _block_for(num_envs, max_block=512)
+    block = _block_for(num_envs, max_block=_FULL_KERNEL_MAX_BLOCK)
     grid = (num_envs // block,)
     flat_params, n_layers = _flatten_dense_params(net_params)
 
@@ -915,6 +939,7 @@ def full_tick_fused(
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(
         sp,
         obs_t, tstate.ground, tstate.air_x, tstate.air_y, tstate.carrying,
@@ -964,7 +989,7 @@ def full_tick_fused_ring(
     obs_rows = collect * params.obs_shape[0] * params.obs_shape[1] * (
         NUM_OBS_CHANNELS)
     capacity = obs_ring.shape[1]
-    block = _block_for(num_envs, max_block=512)
+    block = _block_for(num_envs, max_block=_FULL_KERNEL_MAX_BLOCK)
     grid = (num_envs // block,)
     flat_params, n_layers = _flatten_dense_params(net_params)
 
@@ -1030,6 +1055,7 @@ def full_tick_fused_ring(
         # becomes output 8. Unvisited blocks keep their contents.
         input_output_aliases={1: 8},
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(
         sp,
         obs_ring, tstate.ground, tstate.air_x, tstate.air_y,
