@@ -10,7 +10,12 @@ CLI surface mirrors the reference trainer (reference: train_jax.py:322-389)
 with additions: ``--collect_drones`` (learn from the first k drones of
 every env instead of only drone 0), ``--profile`` (dump a
 ``jax.profiler`` trace), ``--save_train_state`` / ``--resume_from``
-(full-state checkpointing) and ``--engine`` (fused-Pallas vs jnp).
+(full-state checkpointing; resume is bitwise-equivalent to an unbroken
+run), ``--load_from_checkpoint`` (weights-only warm start),
+``--engine`` (fused-Pallas vs jnp), ``--ring_obs_dtype`` /
+``--fast_rng`` (ring-engine storage / RNG speed knobs),
+``--tensorboard_dir`` (per-chunk reward/ε/TD-loss curves) and
+``--inspect_memory`` (replay diagnostics).
 
 Run:  python -m dronerl_tpu.train --num_envs 1024 --num_steps 100000
 """
