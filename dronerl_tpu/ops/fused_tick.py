@@ -453,6 +453,58 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
 
 def _encode_obs(ops: _GridOps, collect: int, ground, air_x, air_y, carrying,
                 charge):
+    """core.observe fused: collect·obs rows of (1, B) f32 (window/global)."""
+    if ops.params.wrapper == "global":
+        return _encode_obs_global(
+            ops, collect, ground, air_x, air_y, carrying, charge)
+    return _encode_obs_window(
+        ops, collect, ground, air_x, air_y, carrying, charge)
+
+
+def _encode_obs_global(ops: _GridOps, collect: int, ground, air_x, air_y,
+                       carrying, charge):
+    """core._observe_global fused: the full-grid 6-channel view.
+
+    Every drone sees the same grid (reference GridView semantics,
+    reference: torch_impl/env/wrappers.py:34-43); flattened row order is
+    (y, x, channel) with channel fastest, matching
+    ``observe_batch(...).reshape(E, -1)`` bit-exactly (drone scatters are
+    sequential per-drone writes; drones occupy distinct cells in any
+    reachable state).
+    """
+    g, n = ops.g, ops.n
+    row = ops.row
+    cell = ops.cell
+
+    pos = row(air_y, 0) * g + row(air_x, 0)
+    drone_here = cell == pos
+    carry_here = drone_here & (row(carrying, 0) > 0)
+    charge_here = jnp.where(drone_here, row(charge, 0) * (1.0 / 100.0), 0.0)
+    for i in range(1, n):
+        pos = row(air_y, i) * g + row(air_x, i)
+        here = cell == pos
+        drone_here = drone_here | here
+        carry_here = carry_here | (here & (row(carrying, i) > 0))
+        charge_here = jnp.where(here, row(charge, i) * (1.0 / 100.0),
+                                charge_here)
+
+    channels = [
+        drone_here.astype(jnp.float32),
+        ((ground == Object.PACKET.value) | carry_here).astype(jnp.float32),
+        (ground == Object.DROPZONE.value).astype(jnp.float32),
+        (ground == Object.STATION.value).astype(jnp.float32),
+        charge_here,
+        (ground == Object.SKYSCRAPER.value).astype(jnp.float32),
+    ]
+    cell_rows = []
+    for j in range(ops.c):
+        for ch in channels:
+            cell_rows.append(ch[j : j + 1, :])
+    return cell_rows * collect  # identical view per collected drone
+
+
+def _encode_obs_window(ops: _GridOps, collect: int, ground, air_x, air_y,
+                       carrying, charge):
     """core._observe_window fused: collect·w·w·6 rows of (1, B) f32."""
     params = ops.params
     g, n = ops.g, ops.n
@@ -751,7 +803,7 @@ def _block_for(num_envs: int, max_block: int = _LANE_BLOCK) -> int:
 
 def supports(params: EnvParams, num_envs: int) -> bool:
     return (
-        params.wrapper == "window"
+        params.wrapper in ("window", "global")
         and params.num_cells <= MAX_CELLS
         and params.n_drones <= MAX_DRONES
         and params.num_packets >= params.n_drones

@@ -527,10 +527,10 @@ def fused_engine_problems(env_params: EnvParams, num_envs: int) -> list:
         problems.append(
             f"backend is {dev.platform!r}, the fused Pallas kernels need a TPU "
             f"(use --engine jnp, or auto)")
-    if env_params.wrapper != "window":
+    if env_params.wrapper not in ("window", "global"):
         problems.append(
-            f"wrapper={env_params.wrapper!r} (only 'window' observations "
-            f"are implemented in-kernel)")
+            f"wrapper={env_params.wrapper!r} (only 'window' and 'global' "
+            f"observations are implemented in-kernel)")
     if env_params.num_cells > fused_tick.MAX_CELLS:
         problems.append(
             f"grid {env_params.grid_size}x{env_params.grid_size} = "

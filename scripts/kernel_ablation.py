@@ -103,6 +103,7 @@ def main():
         orig_phys = fused_tick._physics_and_observe
         orig_pread = fused_tick._GridOps.point_read
         orig_masks = fused_tick._GridOps.last_writer_masks
+        orig_train = DQN.train_step_t
         try:
             rng_rounds = {"rng8": 8, "rng4": 4, "floor": 4}.get(variant, 20)
 
@@ -137,6 +138,8 @@ def main():
                     obs[0:5] * 0.0)
             elif variant == "no_physics":
                 fused_tick._physics_and_observe = fake_physics
+            elif variant == "no_td":
+                DQN.train_step_t = lambda self, ag, batch, **kw: (ag, 0.0)
             elif variant == "no_pointreads":
                 fused_tick._GridOps.point_read = (
                     lambda self, field, idx: field[0:1] * 0.0)
@@ -170,6 +173,7 @@ def main():
             fused_tick._physics_and_observe = orig_phys
             fused_tick._GridOps.point_read = orig_pread
             fused_tick._GridOps.last_writer_masks = orig_masks
+            DQN.train_step_t = orig_train
 
     if "baseline" in results:
         base = results["baseline"]

@@ -35,8 +35,11 @@ def test_tstate_roundtrip():
         # >128 cells: exercises the float spawn-picker fallback
         # (the integer-composite picker covers boards ≤ 128 cells)
         (EnvParams(grid_size=12, n_drones=4), 1),
+        # full-grid observations (GridView semantics) in-kernel
+        (EnvParams(grid_size=9, n_drones=4, wrapper="global"), 1),
+        (EnvParams(grid_size=8, n_drones=3, wrapper="global"), 2),
     ],
-    ids=["default", "collect2", "radius2", "biggrid"],
+    ids=["default", "collect2", "radius2", "biggrid", "global", "global2"],
 )
 @pytest.mark.slow
 def test_tick_fused_matches_jnp_pipeline(params, collect):
@@ -435,3 +438,36 @@ def test_ring_trainer_bf16_interpret():
     ring16 = np.asarray(c16[1][1], np.float32)
     np.testing.assert_allclose(ring32, ring16, atol=4e-3)  # bf16 rounding
     assert np.isfinite(ring16).all()
+
+
+def test_fused_trainer_global_wrapper_interpret():
+    """Full trainer tick with wrapper='global': the in-kernel actor
+    consumes the full-grid observation and training advances."""
+    from dronerl_tpu.train import build_train_step_full
+
+    env_params = EnvParams(grid_size=9, n_drones=4, wrapper="global")
+    num_envs = 128
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    assert agent.obs_dim == 9 * 9 * 6
+    buf = replay.StreamReplay(
+        capacity=num_envs * 4, batch_size=8, stride=num_envs)
+    template = {
+        "obs": jnp.zeros((agent.obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    }
+    rng = jax.random.PRNGKey(0)
+    states = env_core.reset_batch(rng, env_params, num_envs)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, env_params, 1).reshape(
+        num_envs, agent.obs_dim).T
+    carry = (rng, tstate, obs_t, agent.init_state(rng), buf.init(template),
+             jnp.array(0))
+    tick = build_train_step_full(
+        agent, buf, env_params, num_envs, 1, 100, interpret=True)
+    for _ in range(3):
+        carry, (rewards, eps, _loss) = tick(carry, None)
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert float(eps) < 1.0
