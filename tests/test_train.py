@@ -136,6 +136,31 @@ def test_warm_start_installs_checkpoint_params(tmp_path):
         np.testing.assert_array_equal(src_tensors[key], out_tensors[key])
 
 
+def test_warm_start_sharded(tmp_path):
+    """--load_from_checkpoint composes with --use_sharding: the loaded
+    params replace the replicated learner state across the mesh."""
+    from safetensors.numpy import load_file
+
+    src = make_args(tmp_path, num_steps=10, skip_final_eval=True,
+                    save_final_checkpoint=True,
+                    run_dir=str(tmp_path / "src"))
+    train_mod.train(src)
+    ckpt = os.path.join(src.run_dir, "agent_10_steps_jax.safetensors")
+
+    warm = make_args(tmp_path, num_steps=2, num_envs=8, use_sharding=True,
+                     batch_size=64,  # 8 per shard: buffers stay cold
+                     skip_final_eval=True, save_final_checkpoint=True,
+                     run_dir=str(tmp_path / "warm_sharded"))
+    warm.load_from_checkpoint = ckpt
+    train_mod.train(warm)
+    # 2 steps x 1 env/shard < 8-per-shard batch -> no gradient step:
+    # the final save must equal the warm-start source exactly.
+    out = os.path.join(warm.run_dir, "agent_2_steps_jax.safetensors")
+    src_tensors, out_tensors = load_file(ckpt), load_file(out)
+    for key in src_tensors:
+        np.testing.assert_array_equal(src_tensors[key], out_tensors[key])
+
+
 class ProbeLogger:
     def __init__(self):
         self.records = []
