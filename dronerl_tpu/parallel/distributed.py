@@ -86,7 +86,7 @@ class DistributedTrainer:
         if num_envs % self.num_devices:
             raise ValueError(
                 f"num_envs ({num_envs}) must divide over {self.num_devices} devices")
-        if engine not in ("jnp", "fused"):
+        if engine not in ("jnp", "fused", "ring"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.interpret = interpret
@@ -101,7 +101,35 @@ class DistributedTrainer:
         capacity = -(-buffer_capacity_per_shard // push) * push
 
         agent_spec = jax.tree.map(lambda _: P(), self._agent_template())
-        if engine == "fused":
+        if engine == "ring":
+            # Per-shard aliased obs ring (the fastest single-chip engine,
+            # train.build_train_step_ring, replicated per chip): each
+            # shard's kernel reads/writes observations in its own ring
+            # slice; only the pmean gradient sync crosses chips.
+            if collect_drones != 1:
+                raise ValueError("ring engine requires collect_drones == 1")
+            if agent.config.network_type != "dense":
+                raise ValueError(
+                    "ring engine runs the actor in-kernel (dense nets only)")
+            from dronerl_tpu.ops import fused_tick
+
+            eps = self.envs_per_shard
+            self.ring_capacity = max(-(-buffer_capacity_per_shard
+                                       // eps) * eps, 2 * eps)
+            self.batch_size = batch_size_per_shard
+            tstate_spec = fused_tick.TState(
+                ground=P(None, self.axis), air_x=P(None, self.axis),
+                air_y=P(None, self.axis), carrying=P(None, self.axis),
+                charge=P(None, self.axis))
+            self.carry_specs = (
+                P(),                                   # host rng
+                (tstate_spec, P(None, self.axis)),     # env state + obs ring
+                (P(self.axis), P(self.axis), P(self.axis)),  # scalar rings
+                agent_spec,                            # replicated learner
+                (),                                    # (trainer convention)
+                P(),                                   # step counter
+            )
+        elif engine == "fused":
             # Feature-major everything: lanes (the LAST axis) shard over dp.
             self.buffer = replay.StreamReplay(
                 capacity=max(capacity, 2 * push),
@@ -177,17 +205,24 @@ class DistributedTrainer:
 
     # --- programs --------------------------------------------------------
 
-    def init_carry(self, rng: jax.Array):
-        """Sharded initial carry: each chip resets and owns its env shard."""
+    def init_carry(self, rng: jax.Array, obs_dtype=jnp.bfloat16):
+        """Sharded initial carry: each chip resets and owns its env shard.
+
+        ``obs_dtype`` applies to the ring engine's observation storage
+        only (see train.init_ring_carry).
+        """
         agent = self.agent
-        buffer = self.buffer
         env_params = self.env_params
         envs_per_shard = self.envs_per_shard
         k = self.collect_drones
         axis = self.axis
-        fused = self.engine == "fused"
-        if fused:
+        engine = self.engine
+        if engine != "jnp":
             from dronerl_tpu.ops import fused_tick
+        if engine == "ring":
+            ring_capacity = self.ring_capacity
+        else:
+            buffer = self.buffer
 
         @partial(
             jax.shard_map,
@@ -207,7 +242,21 @@ class DistributedTrainer:
                 "rewards": jnp.array(0.0, jnp.float32),
                 "dones": jnp.array(False, jnp.bool_),
             }
-            if fused:
+            if engine == "ring":
+                tstate = fused_tick.to_tstate(env_states)
+                obs0 = obs.reshape(envs_per_shard, agent.obs_dim).T
+                ring = jnp.zeros(
+                    (agent.obs_dim, ring_capacity), obs_dtype)
+                ring = jax.lax.dynamic_update_slice(
+                    ring, obs0.astype(obs_dtype), (0, 0))
+                rings = (
+                    jnp.zeros((ring_capacity,), jnp.int32),
+                    jnp.zeros((ring_capacity,), jnp.float32),
+                    jnp.zeros((ring_capacity,), jnp.int8),
+                )
+                return (rng, (tstate, ring), rings, ag_state, (),
+                        jnp.array(0))
+            if engine == "fused":
                 bstate = buffer.init(template)
                 tstate = fused_tick.to_tstate(env_states)
                 obs_t = obs.reshape(envs_per_shard, k * agent.obs_dim).T
@@ -318,14 +367,91 @@ class DistributedTrainer:
 
         return tick
 
+    def _build_ring_tick(self):
+        """Per-shard ring tick (train.build_train_step_ring semantics,
+        sample-after order) with pmean-synced learner updates."""
+        from dronerl_tpu.ops import fused_tick
+
+        agent = self.agent
+        env_params = self.env_params
+        eps = self.envs_per_shard
+        capacity = self.ring_capacity
+        batch_size = self.batch_size
+        reset_env_every = self.reset_env_every
+        axis = self.axis
+        interpret = self.interpret
+        rng_rounds = self.rng_rounds
+        nb = capacity // eps
+
+        def tick(carry, _):
+            rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _u, \
+                step = carry
+            local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            local = jax.random.fold_in(local, step)
+            step_key, sample_key = jax.random.split(local, 2)
+
+            read_slot = (step % nb) * eps
+            write_slot = ((step + 1) % nb) * eps
+            tstate, rewards_t, dones_t, actions_t, ring = (
+                fused_tick.full_tick_fused_ring(
+                    step_key, tstate, ring, read_slot, write_slot,
+                    ag_state.params, ag_state.epsilon,
+                    step % reset_env_every == 0, env_params, 1, interpret,
+                    rng_rounds=rng_rounds))
+
+            a_ring = jax.lax.dynamic_update_slice(
+                a_ring, actions_t[0], (read_slot,))
+            r_ring = jax.lax.dynamic_update_slice(
+                r_ring, rewards_t[0], (read_slot,))
+            d_ring = jax.lax.dynamic_update_slice(
+                d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+
+            valid = jnp.minimum(step + 1, nb - 1) * eps
+            base_step = jnp.maximum(0, step + 2 - nb)
+            base_slot = (base_step % nb) * eps
+            raw = jax.random.randint(
+                sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+            phys = (base_slot + raw) % capacity
+            nxt = (phys + eps) % capacity
+            batch = {
+                "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
+                "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
+                "actions": jnp.take(a_ring, phys, axis=0),
+                "rewards": jnp.take(r_ring, phys, axis=0),
+                "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
+            }
+
+            def do_train(op):
+                return agent.train_step_t(op[0], op[1], axis_name=axis)
+
+            def no_train(op):
+                return op[0], jax.lax.pmean(0.0, axis)
+
+            ag_state, loss = jax.lax.cond(
+                valid >= batch_size, do_train, no_train, (ag_state, batch))
+            ag_state = jax.lax.cond(
+                step % agent.config.target_update_interval == 0,
+                agent.update_target, lambda s: s, ag_state)
+            ag_state = jax.lax.cond(
+                agent.should_decay_epsilon(step, jnp.array(False)),
+                agent.decay_epsilon, lambda s: s, ag_state)
+
+            rng = jax.random.fold_in(rng, 1)
+            carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
+                     ag_state, (), step + 1)
+            return carry, (rewards_t[0], loss)
+
+        return tick
+
     def build_chunk(self, scan_steps: int):
         """Jitted program running ``scan_steps`` fused train ticks.
 
         Outputs per step: drone-0 rewards (sharded over envs) and the
         pmean'd TD loss (replicated) — surfaced for training curves.
         """
-        if self.engine == "fused":
-            tick = self._build_fused_tick()
+        if self.engine in ("fused", "ring"):
+            tick = (self._build_ring_tick() if self.engine == "ring"
+                    else self._build_fused_tick())
             axis = self.axis
 
             # check_vma=False: varying-axis inference does not yet

@@ -682,14 +682,28 @@ def train(args, metrics_logger=None) -> dict:
                     + "\n  - ".join(problems))
         # Dense nets run the actor in-kernel; conv nets keep the fused env
         # kernel with the conv actor in XLA (same composition as the
-        # single-chip path).
-        sharded_engine = "fused" if (
+        # single-chip path). Ring gating mirrors the single-chip rule:
+        # dense actor, one collected drone, per-shard ring ≤ 4 env-batches.
+        use_sharded_fused = (
             args.engine == "fused"
             or (args.engine == "auto" and fused_engine_supported(
-                agent, env_params, args.num_envs // ndev))
-        ) else "jnp"
+                agent, env_params, args.num_envs // ndev)))
+        envs_per_shard = args.num_envs // ndev
+        shard_ring_capacity = max(
+            -(-max(1, args.memory_size // ndev) // envs_per_shard)
+            * envs_per_shard,
+            2 * envs_per_shard)
+        if (use_sharded_fused
+                and agent_config.network_type == "dense"
+                and args.collect_drones == 1
+                and shard_ring_capacity <= 4 * envs_per_shard):
+            sharded_engine = "ring"
+        elif use_sharded_fused:
+            sharded_engine = "fused"
+        else:
+            sharded_engine = "jnp"
         logger.info("Sharded engine: %s", sharded_engine)
-        if getattr(args, "fast_rng", False) and sharded_engine != "fused":
+        if getattr(args, "fast_rng", False) and sharded_engine == "jnp":
             logger.warning("--fast_rng only affects the fused engines; "
                            "the jnp engine always uses jax.random")
         trainer = DistributedTrainer(
@@ -701,9 +715,10 @@ def train(args, metrics_logger=None) -> dict:
             reset_env_every=args.reset_env_every,
             engine=sharded_engine,
             rng_rounds=(8 if getattr(args, "fast_rng", False)
-                        and sharded_engine == "fused" else 20),
+                        and sharded_engine != "jnp" else 20),
         )
-        carry = trainer.init_carry(rng)
+        carry = trainer.init_carry(
+            rng, obs_dtype=jnp.dtype(args.ring_obs_dtype))
         chunk_fn = trainer.build_chunk(scan_steps)
 
         def run_chunk(carry, _dummy):

@@ -130,3 +130,52 @@ def test_fused_engine_conv_chunk_interpret():
             target_update_interval=5),
         env_params)
     _run_fused_chunk(agent, env_params)
+
+
+@pytest.mark.slow
+def test_ring_engine_chunk_interpret():
+    """Per-shard aliased obs rings under shard_map: each chip's kernel
+    reads/writes its own ring; only the pmean grad sync crosses chips."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    mesh = make_env_mesh(8)
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=8 * 128,
+        buffer_capacity_per_shard=4 * 128,
+        batch_size_per_shard=4,
+        engine="ring",
+        interpret=True,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    ring = carry[1][1]
+    assert ring.dtype == jnp.bfloat16
+    assert ring.shape == (agent.obs_dim, 8 * 4 * 128)  # global = 8 shards
+    chunk = trainer.build_chunk(scan_steps=3)
+    carry, (rewards, losses) = chunk(carry)
+    assert rewards.shape == (3, 8 * 128)
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert int(carry[-1]) == 3
+    assert float(carry[-3].epsilon) < 1.0
+    # params replicated across shards after psum-synced updates
+    for leaf in jax.tree.leaves(carry[-3].params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+def test_ring_engine_rejects_conv_and_multicollect():
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    mesh = make_env_mesh(8)
+    conv_agent = DQN(
+        DQNConfig(network_type="conv", conv_dense_layers=(8,),
+                  epsilon_decay_every=5), env_params)
+    with pytest.raises(ValueError, match="dense"):
+        DistributedTrainer(conv_agent, env_params, mesh, num_envs=8 * 128,
+                           engine="ring")
+    dense_agent = DQN(
+        DQNConfig(hidden_layers=(8,), epsilon_decay_every=5), env_params)
+    with pytest.raises(ValueError, match="collect_drones"):
+        DistributedTrainer(dense_agent, env_params, mesh, num_envs=8 * 128,
+                           engine="ring", collect_drones=2)
