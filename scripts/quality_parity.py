@@ -103,6 +103,9 @@ def main() -> None:
     p.add_argument("--network_type", choices=["dense", "conv"],
                    default="dense",
                    help="conv writes to quality_parity_results_conv.json")
+    p.add_argument("--hidden_layers", nargs="+", type=int, default=None,
+                   help="dense widths; non-default writes to "
+                        "quality_parity_results_dense<widths>.json")
     args = p.parse_args()
 
     global RESULTS
@@ -112,6 +115,11 @@ def main() -> None:
         RESULTS = RESULTS.replace(".json", "_conv.json")
         extra = ("--network_type", "conv")
         net_desc = "conv (8ch 3x3, CLI default)"
+    elif args.hidden_layers:
+        widths = "x".join(str(w) for w in args.hidden_layers)
+        RESULTS = RESULTS.replace(".json", f"_dense{widths}.json")
+        extra = ("--hidden_layers", *map(str, args.hidden_layers))
+        net_desc = f"dense ({widths})"
 
     results = {"config": {
         "num_steps": args.num_steps, "seeds": args.seeds,
@@ -125,7 +133,12 @@ def main() -> None:
         if prev.get("config", {}).get("num_steps") == args.num_steps:
             results = prev
 
-    tag = "" if args.network_type == "dense" else "_conv"
+    if args.network_type == "conv":
+        tag = "_conv"
+    elif args.hidden_layers:
+        tag = "_dense" + "x".join(str(w) for w in args.hidden_layers)
+    else:
+        tag = ""
     for seed in args.seeds:
         if not any(r["seed"] == seed for r in results["repo"]):
             print(f"[repo] seed {seed} ...", flush=True)

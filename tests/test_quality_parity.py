@@ -27,9 +27,15 @@ RESULTS_CONV = os.path.join(
     REPO, "scripts", "quality_parity_results_conv.json")
 
 
-@pytest.fixture(scope="module", params=["dense", "conv"])
+RESULTS_128 = os.path.join(
+    REPO, "scripts", "quality_parity_results_dense128x64.json")
+_RESULT_FILES = {
+    "dense": RESULTS, "conv": RESULTS_CONV, "dense128x64": RESULTS_128}
+
+
+@pytest.fixture(scope="module", params=sorted(_RESULT_FILES))
 def results(request):
-    path = RESULTS if request.param == "dense" else RESULTS_CONV
+    path = _RESULT_FILES[request.param]
     if not os.path.exists(path):
         pytest.skip(f"{request.param} quality parity experiment not run")
     with open(path) as f:
