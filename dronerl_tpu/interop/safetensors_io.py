@@ -119,7 +119,12 @@ def _config_from_metadata(metadata: dict):
         # torch_impl/agents/dqn.py:263-276). Prefer the explicit key,
         # fall back to the historical one.
         head = metadata.get(
-            "conv_dense_layers", metadata.get("dense_layers", "()"))
+            "conv_dense_layers", metadata.get("dense_layers"))
+        if head is None:
+            raise CheckpointFormatError(
+                "conv checkpoint metadata has neither 'conv_dense_layers' "
+                "nor 'dense_layers' — malformed checkpoint (refusing to "
+                "default to an empty dense head)")
         return DQNConfig(
             network_type="conv",
             conv_layers=ast.literal_eval(metadata["conv_layers"]),

@@ -63,6 +63,7 @@ periodic reset uses ``core.reset_batch`` semantics with base key
 """
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -86,12 +87,18 @@ _FULL_KERNEL_MAX_BLOCK = 512
 
 # The default Mosaic scoped-VMEM budget (~16MB) caps the full kernels at
 # 512-lane blocks; the chip has far more VMEM, and the step is pipeline-
-# bound (fewer, bigger blocks win), so the kernels request a higher cap.
+# bound (fewer, bigger blocks win), so the full/ring kernels request a
+# higher cap. Tuned on v5e — override with DRONERL_VMEM_LIMIT_BYTES on
+# chip generations with less scoped VMEM (0 = keep the Mosaic default).
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+def _compiler_params(raise_vmem: bool = True):
+    limit = int(os.environ.get("DRONERL_VMEM_LIMIT_BYTES",
+                               _VMEM_LIMIT if raise_vmem else 0))
+    if limit <= 0:
+        return pltpu.CompilerParams()
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 _U32 = jnp.uint32
 
@@ -875,7 +882,10 @@ def tick_fused(
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        # The env-only tick fits the default scoped-VMEM budget; only the
+        # full/ring kernels need the raised cap (ADVICE r2: keep other
+        # chip generations on the default where it sufficed).
+        compiler_params=_compiler_params(raise_vmem=False),
     )(
         key_i32,
         tstate.ground, tstate.air_x, tstate.air_y, tstate.carrying,

@@ -11,7 +11,7 @@ Unlike the reference, the buffer is a pure module with static geometry
 experience pytree, not just a flat dict.
 """
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -275,7 +275,8 @@ class StreamReplay:
 
 
 def inspect_memory(state: ReplayState, top_n: int = 10, max_col: int = 80,
-                   plot: bool = False, printer=print) -> dict:
+                   plot: bool = False, printer=print,
+                   slot_axis: Optional[int] = None) -> dict:
     """Buffer introspection: distributions + most-common states.
 
     Capability mirror of the reference's ``DQNAgent.inspect_memory``
@@ -283,9 +284,12 @@ def inspect_memory(state: ReplayState, top_n: int = 10, max_col: int = 80,
     buffers: fetches the valid slots to host once, then reports action /
     reward counters, the done proportion, and the ``top_n`` most frequent
     (next_)observations. Works on both row-major (slots leading) and
-    feature-major (slots on the last axis) storage — the slot axis is
-    recognized by its length. ``plot=True`` draws the reference's
-    reward/action bar charts via matplotlib (lazy import).
+    feature-major (slots on the last axis) storage: pass ``slot_axis``
+    when you know the layout (0 for ``ReplayBuffer``, -1 for
+    ``StreamReplay``); when omitted it is inferred from which axis has
+    the slot count, raising if the shape is ambiguous (e.g. a feature
+    dimension that equals the capacity). ``plot=True`` draws the
+    reference's reward/action bar charts via matplotlib (lazy import).
 
     Returns the counters for programmatic use; diagnostics only — runs on
     host, never inside jit.
@@ -303,7 +307,20 @@ def inspect_memory(state: ReplayState, top_n: int = 10, max_col: int = 80,
         arr = np.asarray(arr)
         if arr.ndim == 1:
             return arr[:size]
-        axis = next(i for i, s in enumerate(arr.shape) if s == slots)
+        if slot_axis is not None:
+            axis = slot_axis % arr.ndim
+        else:
+            candidates = [i for i, s in enumerate(arr.shape) if s == slots]
+            if not candidates:
+                raise ValueError(
+                    f"no axis of shape {arr.shape} matches the slot count "
+                    f"{slots}; pass slot_axis= explicitly")
+            if len(candidates) > 1:
+                raise ValueError(
+                    f"slot axis of shape {arr.shape} is ambiguous (several "
+                    f"axes have length {slots}); pass slot_axis= explicitly "
+                    f"(0 for ReplayBuffer, -1 for StreamReplay)")
+            axis = candidates[0]
         return np.moveaxis(arr, axis, 0)[:size]
 
     counters = collections.defaultdict(collections.Counter)

@@ -548,7 +548,56 @@ def fused_engine_problems(env_params: EnvParams, num_envs: int) -> list:
         problems.append(
             f"num_envs={num_envs} < 128 (a lane block must fill; small "
             f"batches belong on the jnp engine)")
+    elif num_envs % 128 != 0:
+        # _block_for would fall back to a num_envs-lane block, which can
+        # still die inside Mosaic with an opaque layout error — pre-empt it.
+        problems.append(
+            f"num_envs={num_envs} is not a multiple of 128 (the kernel "
+            f"tiles envs over 128-lane blocks)")
     return problems
+
+
+def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
+                         use_ring: bool, use_fused: bool, step: int,
+                         probe: int = 1024) -> None:
+    """Per-chunk q-value / TD-loss / replay-action histograms.
+
+    Mirrors the reference's TensorBoard histograms emitted from inside
+    ``learn`` (reference: torch_impl/agents/dqn.py:371-374,416-419) at
+    chunk granularity — per-step host logging would defeat the fused
+    on-device scan, and a chunk is this trainer's logging quantum.
+
+    The q-value histogram is the online net evaluated on a probe of
+    replay observations; the action histogram is the replay ring's action
+    column (what the reference's ``inspect_memory`` plots).
+    """
+    losses = jnp.ravel(losses)
+    trained = losses[losses != 0.0]  # drop warm-up no-train ticks
+    if trained.size:
+        metrics_logger.log_histogram("td_loss", trained, step)
+
+    ag_state = carry[-3]
+    if use_ring:
+        (_tstate, ring) = carry[1]
+        obs = ring[:, :min(probe, ring.shape[1])].T.astype(jnp.float32)
+        actions = carry[2][0]
+    elif use_fused:
+        bstate = carry[-2]
+        size = int(bstate.size)
+        if not size:
+            return
+        obs = bstate.storage["obs"][:, :min(probe, size)].T
+        actions = bstate.storage["actions"][:size]
+    else:
+        bstate = carry[-2]
+        size = int(bstate.size)
+        if not size:
+            return
+        obs = bstate.storage["obs"][:min(probe, size)]
+        actions = bstate.storage["actions"][:size]
+    q = agent.q_values(ag_state.params, jnp.asarray(obs, jnp.float32))
+    metrics_logger.log_histogram("q_values", q, step)
+    metrics_logger.log_histogram("replay_actions", actions, step)
 
 
 def evaluate(
@@ -724,6 +773,10 @@ def train(args, metrics_logger=None) -> dict:
         def run_chunk(carry, _dummy):
             carry, (rewards, losses) = chunk_fn(carry)
             return carry, (rewards, carry[-3].epsilon, losses)
+
+        # Sharded carries hold per-shard buffer layouts; the probe-based
+        # q/action histograms only read the single-chip layouts.
+        hist_ctx = None
     else:
         # Round capacity up to the per-step push size so replay writes hit
         # the contiguous fast path (see replay.push_many).
@@ -763,6 +816,7 @@ def train(args, metrics_logger=None) -> dict:
         engine_name = "jnp"
         if use_fused:
             engine_name = "fused-pallas-ring" if use_ring else "fused-pallas"
+        hist_ctx = (use_ring, use_fused)
         rng_rounds = 8 if getattr(args, "fast_rng", False) else 20
         if rng_rounds != 20 and not use_fused:
             logger.warning("--fast_rng only affects the fused engines; "
@@ -865,11 +919,23 @@ def train(args, metrics_logger=None) -> dict:
             # Per-chunk training curves (the reference logs ε + rewards
             # between chunks, reference: train_jax.py:226-227,257-266);
             # we also surface the TD loss the scan used to discard.
+            # Warm-up ticks (buffer not yet sampleable) emit a loss of
+            # exactly 0.0 from the no-train branch; averaging them in
+            # would bias the first chunk's loss toward zero. A real MSE
+            # loss is never exactly 0.0 in float32, so mask on it.
+            trained = jnp.ravel(losses) != 0.0
+            n_trained = int(jnp.sum(trained))
+            td_loss = (float(jnp.sum(losses) / n_trained)
+                       if n_trained else float("nan"))
             metrics_logger.log_scalars({
                 "train_reward": float(jnp.mean(rewards)),
                 "epsilon": float(jnp.ravel(epsilons)[-1]),
-                "td_loss": float(jnp.mean(losses)),
+                "td_loss": td_loss,
             }, step=(chunk + 1) * scan_steps)
+            if args.log_histograms and hist_ctx is not None:
+                log_chunk_histograms(
+                    metrics_logger, agent, carry, losses, *hist_ctx,
+                    step=(chunk + 1) * scan_steps)
     # Hard host sync: a scalar readback is the only reliable completion
     # barrier on tunneled backends (block_until_ready may return early,
     # silently inflating the reported obs/s).
@@ -892,7 +958,10 @@ def train(args, metrics_logger=None) -> dict:
     if args.inspect_memory:
         bstate = carry[-2]
         if isinstance(bstate, replay.ReplayState):
-            replay.inspect_memory(bstate, printer=logger.info)
+            # StreamReplay stores feature-major (slots on the last axis),
+            # ReplayBuffer row-major — tell the inspector which.
+            replay.inspect_memory(bstate, printer=logger.info,
+                                  slot_axis=-1 if use_fused else 0)
         else:
             logger.warning("--inspect_memory: the ring engine keeps no "
                            "ReplayState (observations live in the aliased "
@@ -1025,6 +1094,12 @@ def parse_args(argv=None):
         "--tensorboard_dir", type=str, default=None,
         help="Write per-chunk training curves (reward/ε/TD loss) and "
              "eval points to TensorBoard under this directory")
+    p.add_argument(
+        "--log_histograms", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="With an active metrics sink, also log per-chunk q-value / "
+             "TD-loss / replay-action histograms (the reference's "
+             "TensorBoard histograms, torch_impl/agents/dqn.py:371-374)")
     p.add_argument("--save_train_state", action="store_true",
                    help="Persist full training state (params/opt/ε/buffer/envs)")
     p.add_argument("--resume_from", type=str, default=None)

@@ -53,3 +53,82 @@ def test_deterministic_across_runs(three_checkpoints):
     b = evaluate_checkpoints(
         three_checkpoints, episode_seeds=(17,), num_steps=30)
     np.testing.assert_array_equal(a["episode_scores"], b["episode_scores"])
+
+
+class _FakeS3:
+    """Records put_object calls (boto3 is not installed in this image)."""
+
+    def __init__(self):
+        self.calls = []
+
+    def put_object(self, **kwargs):
+        kwargs["Body"] = kwargs["Body"].read()
+        self.calls.append(kwargs)
+
+
+def _write_frames(folder, n=4, size=(40, 40)):
+    from PIL import Image
+
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n):
+        Image.new("RGB", size, (i * 40 % 255, 10, 10)).save(
+            os.path.join(folder, f"{i:04d}.jpg"))
+
+
+def test_aicrowd_grading_flags(monkeypatch):
+    """Env-driven grading/AWS detection (reference: aicrowd_helpers.py:48-57)."""
+    from dronerl_tpu.evaluator import aicrowd
+
+    for var in ("AICROWD_IS_GRADING", "CROWDAI_IS_GRADING",
+                "AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY"):
+        monkeypatch.delenv(var, raising=False)
+    assert not aicrowd.is_grading()
+    assert not aicrowd.is_aws_configured()
+    with pytest.raises(RuntimeError, match="AWS Credentials"):
+        aicrowd.get_boto_client()
+    monkeypatch.setenv("AICROWD_IS_GRADING", "true")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "k")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "s")
+    assert aicrowd.is_grading()
+    assert aicrowd.is_aws_configured()
+    # boto3 absent in this image → the import-path error, not a crash
+    with pytest.raises(RuntimeError, match="boto3 is not installed"):
+        aicrowd.get_boto_client()
+
+
+def test_aicrowd_movie_and_uploads(tmp_path, monkeypatch):
+    """Movie encoding + mocked S3 media uploads (reference:
+    aicrowd_helpers.py:60-147)."""
+    from dronerl_tpu.evaluator import aicrowd
+
+    frames = str(tmp_path / "frames")
+    _write_frames(frames)
+    out_path, thumb_path = aicrowd.generate_movie_from_frames(frames)
+    assert os.path.getsize(out_path) > 0
+    assert os.path.getsize(thumb_path) > 0
+
+    monkeypatch.setenv("S3_UPLOAD_PATH_TEMPLATE", "media/{}.mp4")
+    monkeypatch.setenv("S3_BUCKET", "test-bucket")
+    s3 = _FakeS3()
+    key = aicrowd.upload_to_s3(out_path, s3=s3)
+    assert key.startswith("media/") and key.endswith(".mp4")
+    frame_key = aicrowd.upload_random_frame_to_s3(frames, s3=s3)
+    assert frame_key.endswith(".jpg")
+    assert [c["Bucket"] for c in s3.calls] == ["test-bucket"] * 2
+    assert all(c["ACL"] == "public-read" and c["Body"] for c in s3.calls)
+
+    result = aicrowd.publish_submission_media(frames, s3=s3, movie=out_path)
+    assert result["uploaded"] and len(s3.calls) == 4
+
+
+def test_aicrowd_manifest():
+    """The repo ships the platform manifest (reference: aicrowd.json)."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "aicrowd.json")) as f:
+        manifest = json.load(f)
+    assert manifest["evaluator_class"] == "DroneRacerEvaluator"
+    from dronerl_tpu.evaluator import evaluator
+
+    assert hasattr(evaluator, manifest["evaluator_class"])

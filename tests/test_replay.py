@@ -141,3 +141,90 @@ def test_inspect_memory_feature_major():
     assert sum(counters["action"].values()) == 6
     assert counters["action"][2] == 2
     assert len(counters["state"]) == 3  # three distinct obs vectors
+
+
+def test_inspect_memory_ambiguous_slot_axis():
+    """obs_dim == capacity: axis inference must refuse, explicit axis works.
+
+    Guards the ADVICE-r2 fix: length-matching inference silently picked
+    the wrong axis when a feature dimension equalled the slot count.
+    """
+    import pytest
+
+    obs_dim = capacity = 8
+    buf = replay.StreamReplay(capacity=capacity, batch_size=2, stride=2)
+    state = buf.init({
+        "obs": jnp.zeros((obs_dim,), jnp.float32),
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    })
+    state = buf.push_many(state, {
+        "obs": jnp.arange(obs_dim * 2, dtype=jnp.float32).reshape(obs_dim, 2),
+        "actions": jnp.array([1, 2], jnp.int32),
+        "rewards": jnp.array([0.5, 0.5]),
+        "dones": jnp.array([False, False]),
+    })
+    with pytest.raises(ValueError, match="ambiguous"):
+        replay.inspect_memory(state, printer=lambda s: None)
+    counters = replay.inspect_memory(
+        state, printer=lambda s: None, slot_axis=-1)
+    assert sum(counters["action"].values()) == 2
+
+
+def test_stream_replay_reset_corruption_count():
+    """Exactly 1-in-reset_env_every stored transitions pair with a
+    post-reset next_obs — counted, not just documented (VERDICT r2 #5).
+
+    Reproduces the trainer's push pattern (reference semantics being
+    approximated: the reference stores the true pre-reset next_obs,
+    /root/reference/train_jax.py:101-113): each tick pushes ``stride``
+    transitions; on ticks where ``step % R == 0`` the NEXT tick's
+    observations are post-reset. Obs values encode (tick, post-reset
+    flag) so a full sweep of the sample space can count corrupted pairs
+    exactly.
+    """
+    stride, R, n_ticks = 4, 5, 40
+    capacity = stride * 20  # ring holds 20 ticks
+    buf = replay.StreamReplay(capacity=capacity, batch_size=8, stride=stride)
+    state = buf.init({
+        "obs": jnp.zeros((2,), jnp.float32),  # [tick, is_post_reset]
+        "actions": jnp.array(0, jnp.int32),
+        "rewards": jnp.array(0.0, jnp.float32),
+        "dones": jnp.array(False, jnp.bool_),
+    })
+    post_reset = False
+    for tick in range(n_ticks):
+        obs = jnp.stack([
+            jnp.full((stride,), float(tick)),
+            jnp.full((stride,), 1.0 if post_reset else 0.0)])
+        state = buf.push_many(state, {
+            "obs": obs,
+            "actions": jnp.full((stride,), tick % 5, jnp.int32),
+            "rewards": jnp.zeros((stride,)),
+            "dones": jnp.zeros((stride,), jnp.bool_),  # resets aren't dones
+        })
+        post_reset = tick % R == 0  # trainer resets when step % R == 0
+
+    # Sweep every samplable slot deterministically via the same ring
+    # arithmetic sample() uses.
+    valid = int(state.size) - stride
+    base = int(state.cursor) if int(state.size) == capacity else 0
+    phys = (base + np.arange(valid)) % capacity
+    nxt = (phys + stride) % capacity
+    obs = np.asarray(state.storage["obs"])
+    sampled_tick = obs[0, phys]
+    next_is_post_reset = obs[1, nxt]
+
+    # A stored transition is corrupted iff its tick hit step % R == 0
+    # (the reset lands between it and its successor).
+    resident_ticks = sampled_tick.reshape(-1, stride)[:, 0]
+    expected_corrupted = int(np.sum(resident_ticks % R == 0)) * stride
+    actual_corrupted = int(np.sum(next_is_post_reset))
+    assert actual_corrupted == expected_corrupted
+    # fraction ≈ stride/ (R*stride) = 1/R over the resident window
+    frac = actual_corrupted / valid
+    assert abs(frac - 1 / R) < 0.06
+    # and the corrupted tuples are silent: done stays False on them
+    dones = np.asarray(state.storage["dones"])[phys]
+    assert not dones[next_is_post_reset.astype(bool)].any()

@@ -245,3 +245,19 @@ def test_torch_to_jax_roundtrip(tmp_path):
         torch_out = net(torch.tensor(x)).numpy()
     jax_out = np.asarray(agent.q_values(params, x))
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_metadata_missing_head_rejected():
+    """Conv metadata with neither conv_dense_layers nor dense_layers raises.
+
+    Guards the ADVICE-r2 fix: the fallback used to silently default to an
+    empty dense head instead of reporting a malformed checkpoint.
+    """
+    from dronerl_tpu.interop.safetensors_io import (
+        CheckpointFormatError, _config_from_metadata)
+
+    with pytest.raises(CheckpointFormatError, match="malformed"):
+        _config_from_metadata({
+            "network_type": "conv",
+            "conv_layers": "((8, 3, 1, 1),)",
+        })

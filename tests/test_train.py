@@ -164,6 +164,7 @@ def test_warm_start_sharded(tmp_path):
 class ProbeLogger:
     def __init__(self):
         self.records = []
+        self.histograms = []
 
     def log_scalar(self, tag, value, step):
         self.records.append((tag, value, step))
@@ -173,7 +174,7 @@ class ProbeLogger:
             self.log_scalar(tag, value, step)
 
     def log_histogram(self, tag, values, step):
-        pass
+        self.histograms.append((tag, np.asarray(values), step))
 
     def close(self):
         pass
@@ -196,6 +197,16 @@ def test_per_chunk_metrics_logged(tmp_path):
     # ε actually decays over chunks
     eps = [v for _, v in by_tag["epsilon"]]
     assert eps[-1] < eps[0]
+    # Per-chunk histograms are wired (the reference's TensorBoard
+    # histograms, torch_impl/agents/dqn.py:371-374,416-419): q-values on
+    # a replay probe, trained-step TD losses, replay action column.
+    hist_tags = {tag for tag, _, _ in probe.histograms}
+    assert hist_tags >= {"q_values", "td_loss", "replay_actions"}
+    for tag, values, _ in probe.histograms:
+        if tag == "q_values":
+            assert values.shape[-1] == 5 and np.isfinite(values).all()
+        if tag == "td_loss":
+            assert (values != 0.0).all()  # warm-up ticks masked out
 
 
 def test_eval_returns_reasonable_stats(tmp_path):
@@ -213,3 +224,22 @@ def test_eval_returns_reasonable_stats(tmp_path):
     assert -1.0 <= mean <= 1.0
     assert -1.0 <= rmean <= 1.0
     assert std >= 0.0
+
+
+def test_fused_engine_problems_divisibility():
+    """num_envs not a multiple of 128 is a readable pre-empted problem.
+
+    Guards the ADVICE-r2 fix: 192 envs used to pass the >=128 gate and
+    then die inside Mosaic with an opaque layout error.
+    """
+    from dronerl_tpu.env.types import EnvParams
+    from dronerl_tpu.train import fused_engine_problems
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    msgs = fused_engine_problems(params, 192)
+    assert any("multiple of 128" in m for m in msgs)
+    msgs_small = fused_engine_problems(params, 64)
+    assert any("< 128" in m for m in msgs_small)
+    # well-formed batch: no env-count problem reported
+    msgs_ok = fused_engine_problems(params, 1024)
+    assert not any("128" in m for m in msgs_ok)
