@@ -106,25 +106,33 @@ class DistributedTrainer:
             # train.build_train_step_ring, replicated per chip): each
             # shard's kernel reads/writes observations in its own ring
             # slice; only the pmean gradient sync crosses chips.
-            if collect_drones != 1:
-                raise ValueError("ring engine requires collect_drones == 1")
+            if batch_size_per_shard % collect_drones != 0:
+                raise ValueError(
+                    "ring engine needs batch_size_per_shard divisible by "
+                    "collect_drones (per-drone row-group sampling)")
             if agent.config.network_type != "dense":
                 raise ValueError(
                     "ring engine runs the actor in-kernel (dense nets only)")
             from dronerl_tpu.ops import fused_tick
 
             eps = self.envs_per_shard
-            self.ring_capacity = max(-(-buffer_capacity_per_shard
-                                       // eps) * eps, 2 * eps)
+            # Ring COLUMNS per shard (each column holds collect_drones
+            # transitions as stacked row groups — see
+            # train.build_train_step_ring).
+            self.ring_capacity = max(
+                -(-buffer_capacity_per_shard
+                  // (eps * collect_drones)) * eps, 2 * eps)
             self.batch_size = batch_size_per_shard
             tstate_spec = fused_tick.TState(
                 ground=P(None, self.axis), air_x=P(None, self.axis),
                 air_y=P(None, self.axis), carrying=P(None, self.axis),
                 charge=P(None, self.axis))
+            scalar_spec = (P(self.axis) if collect_drones == 1
+                           else P(None, self.axis))
             self.carry_specs = (
                 P(),                                   # host rng
                 (tstate_spec, P(None, self.axis)),     # env state + obs ring
-                (P(self.axis), P(self.axis), P(self.axis)),  # scalar rings
+                (scalar_spec, scalar_spec, scalar_spec),  # scalar rings
                 agent_spec,                            # replicated learner
                 (),                                    # (trainer convention)
                 P(),                                   # step counter
@@ -244,15 +252,17 @@ class DistributedTrainer:
             }
             if engine == "ring":
                 tstate = fused_tick.to_tstate(env_states)
-                obs0 = obs.reshape(envs_per_shard, agent.obs_dim).T
+                obs0 = obs.reshape(envs_per_shard, k * agent.obs_dim).T
                 ring = jnp.zeros(
-                    (agent.obs_dim, ring_capacity), obs_dtype)
+                    (k * agent.obs_dim, ring_capacity), obs_dtype)
                 ring = jax.lax.dynamic_update_slice(
                     ring, obs0.astype(obs_dtype), (0, 0))
+                scalar_shape = ((ring_capacity,) if k == 1
+                                else (k, ring_capacity))
                 rings = (
-                    jnp.zeros((ring_capacity,), jnp.int32),
-                    jnp.zeros((ring_capacity,), jnp.float32),
-                    jnp.zeros((ring_capacity,), jnp.int8),
+                    jnp.zeros(scalar_shape, jnp.int32),
+                    jnp.zeros(scalar_shape, jnp.float32),
+                    jnp.zeros(scalar_shape, jnp.int8),
                 )
                 return (rng, (tstate, ring), rings, ag_state, (),
                         jnp.array(0))
@@ -382,6 +392,8 @@ class DistributedTrainer:
         interpret = self.interpret
         rng_rounds = self.rng_rounds
         nb = capacity // eps
+        k = self.collect_drones
+        obs_dim = agent.obs_dim
 
         def tick(carry, _):
             rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _u, \
@@ -396,30 +408,64 @@ class DistributedTrainer:
                 fused_tick.full_tick_fused_ring(
                     step_key, tstate, ring, read_slot, write_slot,
                     ag_state.params, ag_state.epsilon,
-                    step % reset_env_every == 0, env_params, 1, interpret,
+                    step % reset_env_every == 0, env_params, k, interpret,
                     rng_rounds=rng_rounds))
 
-            a_ring = jax.lax.dynamic_update_slice(
-                a_ring, actions_t[0], (read_slot,))
-            r_ring = jax.lax.dynamic_update_slice(
-                r_ring, rewards_t[0], (read_slot,))
-            d_ring = jax.lax.dynamic_update_slice(
-                d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+            if k == 1:
+                a_ring = jax.lax.dynamic_update_slice(
+                    a_ring, actions_t[0], (read_slot,))
+                r_ring = jax.lax.dynamic_update_slice(
+                    r_ring, rewards_t[0], (read_slot,))
+                d_ring = jax.lax.dynamic_update_slice(
+                    d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+            else:
+                a_ring = jax.lax.dynamic_update_slice(
+                    a_ring, actions_t[:k], (0, read_slot))
+                r_ring = jax.lax.dynamic_update_slice(
+                    r_ring, rewards_t[:k], (0, read_slot))
+                d_ring = jax.lax.dynamic_update_slice(
+                    d_ring, dones_t[:k].astype(jnp.int8), (0, read_slot))
 
             valid = jnp.minimum(step + 1, nb - 1) * eps
             base_step = jnp.maximum(0, step + 2 - nb)
             base_slot = (base_step % nb) * eps
-            raw = jax.random.randint(
-                sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
-            phys = (base_slot + raw) % capacity
-            nxt = (phys + eps) % capacity
-            batch = {
-                "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
-                "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
-                "actions": jnp.take(a_ring, phys, axis=0),
-                "rewards": jnp.take(r_ring, phys, axis=0),
-                "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
-            }
+            if k == 1:
+                raw = jax.random.randint(
+                    sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+                phys = (base_slot + raw) % capacity
+                nxt = (phys + eps) % capacity
+                batch = {
+                    "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
+                    "next_obs": jnp.take(ring, nxt, axis=1).astype(
+                        jnp.float32),
+                    "actions": jnp.take(a_ring, phys, axis=0),
+                    "rewards": jnp.take(r_ring, phys, axis=0),
+                    "dones": jnp.take(d_ring, phys, axis=0).astype(
+                        jnp.float32),
+                }
+            else:
+                raw = jax.random.randint(
+                    sample_key, (k, batch_size // k), 0,
+                    jnp.maximum(valid, 1))
+                parts = {key: [] for key in
+                         ("obs", "next_obs", "actions", "rewards", "dones")}
+                for j in range(k):
+                    phys = (base_slot + raw[j]) % capacity
+                    nxt = (phys + eps) % capacity
+                    rows = ring[j * obs_dim:(j + 1) * obs_dim]
+                    parts["obs"].append(
+                        jnp.take(rows, phys, axis=1).astype(jnp.float32))
+                    parts["next_obs"].append(
+                        jnp.take(rows, nxt, axis=1).astype(jnp.float32))
+                    parts["actions"].append(
+                        jnp.take(a_ring[j], phys, axis=0))
+                    parts["rewards"].append(
+                        jnp.take(r_ring[j], phys, axis=0))
+                    parts["dones"].append(
+                        jnp.take(d_ring[j], phys, axis=0).astype(
+                            jnp.float32))
+                batch = {key: jnp.concatenate(vals, axis=-1)
+                         for key, vals in parts.items()}
 
             def do_train(op):
                 return agent.train_step_t(op[0], op[1], axis_name=axis)
@@ -428,7 +474,8 @@ class DistributedTrainer:
                 return op[0], jax.lax.pmean(0.0, axis)
 
             ag_state, loss = jax.lax.cond(
-                valid >= batch_size, do_train, no_train, (ag_state, batch))
+                valid >= batch_size // k, do_train, no_train,
+                (ag_state, batch))
             ag_state = jax.lax.cond(
                 step % agent.config.target_update_interval == 0,
                 agent.update_target, lambda s: s, ag_state)

@@ -220,9 +220,14 @@ class StreamReplay:
     ``reset_env_every`` stored transitions (1% at the trainer default of
     100) and is the price of storing each observation once; the two-copy
     :class:`ReplayBuffer` used by the jnp engine stores the true
-    pre-reset next_obs. Measured end-to-end, training quality matches
-    the jnp engine (README "Training quality"); use the jnp engine if
-    exact reset-boundary bootstrapping matters.
+    pre-reset next_obs. Quantified (round 3): the corrupted-tuple count
+    is locked by tests/test_replay.py::
+    test_stream_replay_reset_corruption_count, and a paired-seed
+    controlled experiment (scripts/stream_reset_experiment.py) shows
+    eval quality unchanged even at 10x corruption stress while
+    final-chunk TD loss inflates ~3% (R=100) to ~45% (R=10) — see
+    PERF.md "The StreamReplay reset-tick approximation, quantified".
+    Use the jnp engine if exact reset-boundary bootstrapping matters.
 
     Capacity must be a multiple of ``stride`` (keeps every push
     contiguous and the successor offset exact across the wrap).

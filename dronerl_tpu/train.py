@@ -379,6 +379,7 @@ def build_train_step_ring(
     interpret: bool = False,
     rng_rounds: int = 20,
     sample_before_kernel: bool = False,
+    collect_drones: int = 1,
 ):
     # The ring dtype is whatever init_ring_carry allocated (obs_dtype):
     # bf16 halves the kernel's per-step HBM obs write; the actor and TD
@@ -391,8 +392,16 @@ def build_train_step_ring(
     and writes the next observation into the following slice — the
     training loop never materializes, copies or pushes an observation
     tensor. Only the tiny scalar rings (actions/rewards/dones) and the TD
-    update remain outside the kernel. collect_drones == 1 (the reference
-    trainer's default experience collection).
+    update remain outside the kernel.
+
+    ``collect_drones`` (k) widens experience collection past the
+    reference trainer's drone-0 default: the kernel stacks the k drones'
+    observations as row groups of each ring column (``capacity`` counts
+    ring COLUMNS = env slots; k transitions live per column), the scalar
+    rings grow a leading k axis, and sampling draws batch_size//k
+    column indices per drone row-group so every gather keeps a static
+    row slice. k == 1 compiles to the exact historical program (the
+    shipped bench cache stays valid).
 
     Carry: ``(rng, (tstate, obs_ring), (act_ring, rew_ring, done_ring),
     ag_state, (), step)`` — the trainer-wide convention keeps the agent
@@ -403,7 +412,11 @@ def build_train_step_ring(
 
     if capacity % num_envs != 0 or capacity < 2 * num_envs:
         raise ValueError("capacity must be a multiple of num_envs, >= 2x")
+    k = collect_drones
+    if batch_size % k != 0:
+        raise ValueError("batch_size must be a multiple of collect_drones")
     nb = capacity // num_envs  # ring length in steps
+    obs_dim = agent.obs_dim
 
     def tick(carry, _):
         rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _u, step = (
@@ -416,17 +429,39 @@ def build_train_step_ring(
         def gather_batch(ring, valid, base_step):
             """Uniform sample over ``valid`` slots starting at base_step."""
             base_slot = (base_step % nb) * num_envs
+            if k == 1:
+                raw = jax.random.randint(
+                    sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+                phys = (base_slot + raw) % capacity
+                nxt = (phys + num_envs) % capacity
+                return {
+                    "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
+                    "next_obs": jnp.take(ring, nxt, axis=1).astype(
+                        jnp.float32),
+                    "actions": jnp.take(a_ring, phys, axis=0),
+                    "rewards": jnp.take(r_ring, phys, axis=0),
+                    "dones": jnp.take(d_ring, phys, axis=0).astype(
+                        jnp.float32),
+                }
+            # k > 1: per-drone row groups sampled with static row slices.
             raw = jax.random.randint(
-                sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
-            phys = (base_slot + raw) % capacity
-            nxt = (phys + num_envs) % capacity
-            return {
-                "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
-                "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
-                "actions": jnp.take(a_ring, phys, axis=0),
-                "rewards": jnp.take(r_ring, phys, axis=0),
-                "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
-            }
+                sample_key, (k, batch_size // k), 0, jnp.maximum(valid, 1))
+            parts = {key: [] for key in
+                     ("obs", "next_obs", "actions", "rewards", "dones")}
+            for j in range(k):
+                phys = (base_slot + raw[j]) % capacity
+                nxt = (phys + num_envs) % capacity
+                rows = ring[j * obs_dim:(j + 1) * obs_dim]
+                parts["obs"].append(
+                    jnp.take(rows, phys, axis=1).astype(jnp.float32))
+                parts["next_obs"].append(
+                    jnp.take(rows, nxt, axis=1).astype(jnp.float32))
+                parts["actions"].append(jnp.take(a_ring[j], phys, axis=0))
+                parts["rewards"].append(jnp.take(r_ring[j], phys, axis=0))
+                parts["dones"].append(
+                    jnp.take(d_ring[j], phys, axis=0).astype(jnp.float32))
+            return {key: jnp.concatenate(vals, axis=-1)
+                    for key, vals in parts.items()}
 
         if sample_before_kernel:
             # Gather BEFORE the aliased kernel touches the ring.
@@ -445,16 +480,24 @@ def build_train_step_ring(
             fused_tick.full_tick_fused_ring(
                 step_key, tstate, ring, read_slot, write_slot,
                 ag_state.params, ag_state.epsilon,
-                step % reset_env_every == 0, env_params, 1, interpret,
+                step % reset_env_every == 0, env_params, k, interpret,
                 rng_rounds=rng_rounds))
 
         # Scalars live at the same slot as this tick's input observation.
-        a_ring = jax.lax.dynamic_update_slice(
-            a_ring, actions_t[0], (read_slot,))
-        r_ring = jax.lax.dynamic_update_slice(
-            r_ring, rewards_t[0], (read_slot,))
-        d_ring = jax.lax.dynamic_update_slice(
-            d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+        if k == 1:
+            a_ring = jax.lax.dynamic_update_slice(
+                a_ring, actions_t[0], (read_slot,))
+            r_ring = jax.lax.dynamic_update_slice(
+                r_ring, rewards_t[0], (read_slot,))
+            d_ring = jax.lax.dynamic_update_slice(
+                d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+        else:
+            a_ring = jax.lax.dynamic_update_slice(
+                a_ring, actions_t[:k], (0, read_slot))
+            r_ring = jax.lax.dynamic_update_slice(
+                r_ring, rewards_t[:k], (0, read_slot))
+            d_ring = jax.lax.dynamic_update_slice(
+                d_ring, dones_t[:k].astype(jnp.int8), (0, read_slot))
 
         if not sample_before_kernel:
             # Complete tuples after tick t: steps [max(0, t+2-nb), t] —
@@ -462,8 +505,10 @@ def build_train_step_ring(
             valid = jnp.minimum(step + 1, nb - 1) * num_envs
             batch = gather_batch(ring, valid, jnp.maximum(0, step + 2 - nb))
 
+        # valid counts ring COLUMNS; each column holds k transitions and
+        # the per-drone gathers draw batch_size//k columns each.
         ag_state, loss = jax.lax.cond(
-            valid >= batch_size,
+            valid >= batch_size // k,
             lambda op: agent.train_step_t(op[0], op[1]),
             lambda op: (op[0], 0.0),
             (ag_state, batch),
@@ -484,22 +529,30 @@ def build_train_step_ring(
 
 def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
                     capacity: int, rng: jax.Array,
-                    obs_dtype=jnp.float32):
-    """Initial carry for :func:`build_train_step_ring`."""
+                    obs_dtype=jnp.float32, collect_drones: int = 1):
+    """Initial carry for :func:`build_train_step_ring`.
+
+    ``capacity`` counts ring columns; with ``collect_drones`` = k the obs
+    ring stacks the k drones' observations as row groups (k·obs_dim rows)
+    and the scalar rings carry a leading k axis (k == 1 keeps the
+    historical flat shapes so the shipped bench cache stays valid).
+    """
     from dronerl_tpu.ops import fused_tick
 
+    k = collect_drones
     env_states = env_core.reset_batch(rng, env_params, num_envs)
     tstate = fused_tick.to_tstate(env_states)
-    obs0 = env_core.observe_batch(env_states, env_params, 1).reshape(
-        num_envs, agent.obs_dim).T
-    ring = jnp.zeros((agent.obs_dim, capacity), obs_dtype)
+    obs0 = env_core.observe_batch(env_states, env_params, k).reshape(
+        num_envs, k * agent.obs_dim).T
+    ring = jnp.zeros((k * agent.obs_dim, capacity), obs_dtype)
     ring = jax.lax.dynamic_update_slice(ring, obs0.astype(obs_dtype), (0, 0))
     ag_state = agent.init_state(rng)
+    scalar_shape = (capacity,) if k == 1 else (k, capacity)
     return (
         rng, (tstate, ring),
-        (jnp.zeros((capacity,), jnp.int32),
-         jnp.zeros((capacity,), jnp.float32),
-         jnp.zeros((capacity,), jnp.int8)),
+        (jnp.zeros(scalar_shape, jnp.int32),
+         jnp.zeros(scalar_shape, jnp.float32),
+         jnp.zeros(scalar_shape, jnp.int8)),
         ag_state, (), jnp.array(0),
     )
 
@@ -579,7 +632,9 @@ def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
     ag_state = carry[-3]
     if use_ring:
         (_tstate, ring) = carry[1]
-        obs = ring[:, :min(probe, ring.shape[1])].T.astype(jnp.float32)
+        # collect_drones > 1 stacks per-drone row groups; probe drone 0
+        obs = ring[:agent.obs_dim, :min(probe, ring.shape[1])].T.astype(
+            jnp.float32)
         actions = carry[2][0]
     elif use_fused:
         bstate = carry[-2]
@@ -744,8 +799,10 @@ def train(args, metrics_logger=None) -> dict:
             2 * envs_per_shard)
         if (use_sharded_fused
                 and agent_config.network_type == "dense"
-                and args.collect_drones == 1
-                and shard_ring_capacity <= 4 * envs_per_shard):
+                and max(1, args.batch_size // ndev) % args.collect_drones
+                == 0
+                and shard_ring_capacity
+                <= 4 * envs_per_shard * args.collect_drones):
             sharded_engine = "ring"
         elif use_sharded_fused:
             sharded_engine = "fused"
@@ -810,9 +867,13 @@ def train(args, metrics_logger=None) -> dict:
         # engine's explicit push.
         ring_capacity = max(capacity, 2 * push_size)
         dense = agent_config.network_type == "dense"
+        # nb = ring length in env-batches (ticks); the ring engine needs a
+        # small ring (donation constraint, see below) and batch_size
+        # divisible by collect_drones (per-drone row-group sampling).
         use_ring = (
-            use_fused and dense and args.collect_drones == 1
-            and ring_capacity <= 4 * args.num_envs)
+            use_fused and dense
+            and ring_capacity <= 4 * push_size
+            and args.batch_size % args.collect_drones == 0)
         engine_name = "jnp"
         if use_fused:
             engine_name = "fused-pallas-ring" if use_ring else "fused-pallas"
@@ -828,13 +889,16 @@ def train(args, metrics_logger=None) -> dict:
             # obs/s measured, PERF.md); env transitions stay bit-exact
             # (the ring only feeds the actor/learner matmuls, which
             # round to bf16 on the MXU anyway).
+            ring_columns = ring_capacity // args.collect_drones
             tick = build_train_step_ring(
-                agent, env_params, args.num_envs, ring_capacity,
+                agent, env_params, args.num_envs, ring_columns,
                 args.batch_size, args.reset_env_every,
-                rng_rounds=rng_rounds)
+                rng_rounds=rng_rounds,
+                collect_drones=args.collect_drones)
             carry = init_ring_carry(
-                agent, env_params, args.num_envs, ring_capacity, rng,
-                obs_dtype=jnp.dtype(args.ring_obs_dtype))
+                agent, env_params, args.num_envs, ring_columns, rng,
+                obs_dtype=jnp.dtype(args.ring_obs_dtype),
+                collect_drones=args.collect_drones)
             state0 = None
         elif use_fused:
             from dronerl_tpu.ops import fused_tick

@@ -165,7 +165,7 @@ def test_ring_engine_chunk_interpret():
             np.testing.assert_array_equal(shards[0], s)
 
 
-def test_ring_engine_rejects_conv_and_multicollect():
+def test_ring_engine_rejects_conv_and_indivisible_batch():
     env_params = EnvParams(grid_size=9, n_drones=4)
     mesh = make_env_mesh(8)
     conv_agent = DQN(
@@ -176,6 +176,40 @@ def test_ring_engine_rejects_conv_and_multicollect():
                            engine="ring")
     dense_agent = DQN(
         DQNConfig(hidden_layers=(8,), epsilon_decay_every=5), env_params)
-    with pytest.raises(ValueError, match="collect_drones"):
+    # collect_drones > 1 is supported since round 3; only a batch that
+    # can't split into per-drone row groups is rejected.
+    with pytest.raises(ValueError, match="divisible by"):
         DistributedTrainer(dense_agent, env_params, mesh, num_envs=8 * 128,
-                           engine="ring", collect_drones=2)
+                           engine="ring", collect_drones=2,
+                           batch_size_per_shard=5)
+
+
+@pytest.mark.slow
+def test_ring_engine_multicollect_chunk_interpret():
+    """Sharded ring engine with collect_drones=2: per-shard rings hold
+    two transitions per column; learner stays replicated."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    mesh = make_env_mesh(4)
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=4 * 128,
+        buffer_capacity_per_shard=2 * 2 * 128,
+        batch_size_per_shard=4,
+        collect_drones=2,
+        engine="ring",
+        interpret=True,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    ring = carry[1][1]
+    assert ring.shape == (2 * agent.obs_dim, 4 * 2 * 128)
+    assert carry[2][0].shape == (2, 4 * 2 * 128)
+    chunk = trainer.build_chunk(scan_steps=3)
+    carry, (rewards, losses) = chunk(carry)
+    assert rewards.shape == (3, 4 * 128)
+    assert np.isfinite(np.asarray(rewards)).all()
+    for leaf in jax.tree.leaves(carry[-3].params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)

@@ -471,3 +471,56 @@ def test_fused_trainer_global_wrapper_interpret():
         carry, (rewards, eps, _loss) = tick(carry, None)
     assert np.isfinite(np.asarray(rewards)).all()
     assert float(eps) < 1.0
+
+
+def test_ring_trainer_multicollect_interpret():
+    """Ring engine widened to collect_drones > 1 (round 3): per-drone
+    obs row groups in each ring column, (k, cap) scalar rings, per-drone
+    row-group sampling — verified against the env core's observations.
+    """
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E, k = 128, 2
+    cap = 4 * E  # ring columns; 2 transitions per column
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), params)
+    rng = jax.random.PRNGKey(0)
+    tick = build_train_step_ring(
+        agent, params, E, cap, batch_size=8, reset_env_every=100,
+        interpret=True, collect_drones=k)
+    carry = init_ring_carry(agent, params, E, cap, rng, collect_drones=k)
+    D = agent.obs_dim
+    assert carry[1][1].shape == (k * D, cap)
+    assert carry[2][0].shape == (k, cap)
+
+    for t in range(3):
+        carry, (rew, eps, _loss) = tick(carry, None)
+        assert np.isfinite(np.asarray(rew)).all(), t
+    # The ring column block for tick t+1 must hold BOTH drones' true
+    # observations of the post-tick env state (stacked row groups).
+    _, (tstate, ring) = carry[0], carry[1]
+    state = fused_tick.from_tstate(tstate, params)
+    expect = np.asarray(
+        env_core.observe_batch(state, params, k).reshape(E, k * D).T)
+    got = np.asarray(ring[:, 3 * E:4 * E], dtype=np.float32)
+    np.testing.assert_allclose(got, expect, atol=1.4e-7)
+    # scalar rings populated for both drones on visited slots
+    actions = np.asarray(carry[2][0][:, :3 * E])
+    assert actions.shape == (k, 3 * E)
+    assert (actions >= 0).all() and (actions < 5).all()
+    # learner trained (batch gathered across both row groups)
+    p0 = jax.tree.leaves(agent.init_state(rng).params)[0]
+    p1 = jax.tree.leaves(carry[-3].params)[0]
+    assert not (np.asarray(p0) == np.asarray(p1)).all()
+    assert int(carry[-1]) == 3
+
+
+def test_ring_multicollect_batch_divisibility():
+    from dronerl_tpu.train import build_train_step_ring
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(8,), epsilon_decay_every=5), params)
+    with pytest.raises(ValueError, match="multiple of collect_drones"):
+        build_train_step_ring(agent, params, 128, 512, batch_size=9,
+                              reset_env_every=100, collect_drones=2)
