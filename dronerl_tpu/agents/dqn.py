@@ -27,6 +27,7 @@ from flax.struct import dataclass
 
 from dronerl_tpu.constants import NUM_ACTIONS, NUM_OBS_CHANNELS
 from dronerl_tpu.env.types import EnvParams
+from dronerl_tpu.ops import conv2mat
 
 
 def _freeze_conv_specs(specs) -> Tuple[Tuple[Tuple[str, int], ...], ...]:
@@ -66,6 +67,14 @@ class DQNConfig:
     learning_rate: float = 1e-3
     target_update_interval: int = 5
     tau: float = 1.0  # 1.0 = hard target copy; <1 = EMA
+    # Compute conv layers as im2col weight matrices (ops/conv2mat.py)
+    # instead of XLA conv primitives. Same parameters/checkpoints, same
+    # math up to summation order; required for the in-kernel conv actor
+    # (ring engine), where the Pallas kernel and the XLA-side learner
+    # must share one contraction structure. Opt-in: flipping it changes
+    # float summation order, so greedy trajectories of a trained net can
+    # differ from the default conv path's.
+    conv_matmul: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -161,6 +170,13 @@ class DQN:
         self.optimizer = optax.adam(config.learning_rate)
         h, w, c = env_params.obs_shape
         self.obs_dim = h * w * c
+        # Static per-layer descriptor for the im2col-matmul forward
+        # (None unless this is a conv net with conv_matmul on). Passed to
+        # the fused kernels as their net_spec static arg.
+        self.net_spec = (
+            conv2mat.net_layer_specs(config, env_params.obs_shape)
+            if config.network_type == "conv" and config.conv_matmul
+            else None)
 
     # --- lifecycle -----------------------------------------------------
 
@@ -180,6 +196,17 @@ class DQN:
 
     def q_values(self, params: Any, obs: jax.Array) -> jax.Array:
         """Forward pass. obs: (B, obs_dim) or (B, H, W, C) → (B, A)."""
+        if self.net_spec is not None:
+            # im2col-matmul conv forward: the same (in,out) weight chain
+            # the in-kernel actor consumes (ops/conv2mat.py), applied
+            # row-major exactly like flax Dense (x @ W + b).
+            x = obs.reshape(obs.shape[0], -1)
+            chain = conv2mat.effective_dense_params(params, self.net_spec)
+            for idx, (w, b) in enumerate(chain):
+                x = x @ w + b[:, 0]
+                if idx < len(chain) - 1:
+                    x = nn.relu(x)
+            return x
         return self.network.apply(params, obs.reshape(obs.shape[0], -1))
 
     def act(
@@ -212,12 +239,27 @@ class DQN:
     def q_values_t(self, params: Any, obs_t: jax.Array) -> jax.Array:
         """Forward pass on (obs_dim, B) observations → (num_actions, B).
 
-        Dense networks run natively feature-major; conv networks fall back
-        to the row-major module behind a pair of transposes (the fused env
+        Dense networks run natively feature-major; conv networks with
+        ``conv_matmul`` run the same im2col weight chain the in-kernel
+        actor uses (ops/conv2mat.py); other conv networks fall back to
+        the row-major module behind a pair of transposes (the fused env
         engine still applies — only the tiny Q forward changes layout).
         """
-        if self.config.network_type != "dense":
+        if self.config.network_type != "dense" and self.net_spec is None:
             return self.q_values(params, obs_t.T).T
+        if self.net_spec is not None:
+            chain = conv2mat.effective_dense_params(params, self.net_spec)
+            x = obs_t
+            for idx, (w, b) in enumerate(chain):
+                x = jnp.einsum(
+                    "io,ib->ob", w, x, preferred_element_type=jnp.float32)
+                x = x + b
+                if idx < len(chain) - 1:
+                    x = nn.relu(x)
+            return x
+        # Dense path: trace order kept byte-stable (bias reshape inline,
+        # between einsums) — the benchmark program's jaxpr hash and the
+        # shipped warm compilation cache key on it (tests/test_bench_program.py).
         layers = params["params"]
         x = obs_t
         n_layers = len(layers)

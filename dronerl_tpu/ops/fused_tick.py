@@ -912,9 +912,31 @@ def _flatten_dense_params(net_params) -> Tuple[list, int]:
     return flat, n_layers
 
 
+def _flatten_net_params(net_params, net_spec) -> Tuple[list, int]:
+    """Network params → the kernel's [W0, b0, W1, b1, ...] matmul chain.
+
+    ``net_spec`` is the static layer descriptor from
+    ``conv2mat.net_layer_specs`` (None = all-dense). Conv layers lower to
+    im2col weight matrices OUTSIDE the kernel (one small scatter per
+    tick); the in-kernel actor then runs the identical dense path for
+    every network type.
+    """
+    if net_spec is None:
+        return _flatten_dense_params(net_params)
+    from dronerl_tpu.ops import conv2mat
+
+    chain = conv2mat.effective_dense_params(net_params, net_spec)
+    flat = []
+    for w, b in chain:
+        flat.append(w)
+        flat.append(b)
+    return flat, len(chain)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "collect", "interpret", "vma", "rng_rounds"))
+    static_argnames=("params", "collect", "interpret", "vma", "rng_rounds",
+                     "net_spec"))
 def full_tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -927,6 +949,7 @@ def full_tick_fused(
     interpret: bool = False,
     vma: Tuple[str, ...] = (),
     rng_rounds: int = 20,
+    net_spec=None,
 ):
     """The whole env side of a training tick in one dispatch.
 
@@ -948,7 +971,7 @@ def full_tick_fused(
     # under the 16MB scoped-VMEM limit.
     block = _block_for(num_envs, max_block=_FULL_KERNEL_MAX_BLOCK)
     grid = (num_envs // block,)
-    flat_params, n_layers = _flatten_dense_params(net_params)
+    flat_params, n_layers = _flatten_net_params(net_params, net_spec)
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
@@ -1021,7 +1044,8 @@ def full_tick_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "collect", "interpret", "rng_rounds"))
+    static_argnames=("params", "collect", "interpret", "rng_rounds",
+                     "net_spec"))
 def full_tick_fused_ring(
     step_key: jax.Array,
     tstate: TState,
@@ -1035,6 +1059,7 @@ def full_tick_fused_ring(
     collect: int = 1,
     interpret: bool = False,
     rng_rounds: int = 20,
+    net_spec=None,
 ):
     """:func:`full_tick_fused` writing observations straight into the
     replay ring.
@@ -1053,7 +1078,7 @@ def full_tick_fused_ring(
     capacity = obs_ring.shape[1]
     block = _block_for(num_envs, max_block=_FULL_KERNEL_MAX_BLOCK)
     grid = (num_envs // block,)
-    flat_params, n_layers = _flatten_dense_params(net_params)
+    flat_params, n_layers = _flatten_net_params(net_params, net_spec)
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,

@@ -110,9 +110,11 @@ class DistributedTrainer:
                 raise ValueError(
                     "ring engine needs batch_size_per_shard divisible by "
                     "collect_drones (per-drone row-group sampling)")
-            if agent.config.network_type != "dense":
+            if agent.config.network_type != "dense" and (
+                    agent.net_spec is None):
                 raise ValueError(
-                    "ring engine runs the actor in-kernel (dense nets only)")
+                    "ring engine runs the actor in-kernel: dense nets, or "
+                    "conv nets with conv_matmul=True (--conv_matmul)")
             from dronerl_tpu.ops import fused_tick
 
             eps = self.envs_per_shard

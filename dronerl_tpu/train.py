@@ -86,6 +86,7 @@ def agent_config_from_args(args) -> DQNConfig:
         eps_decay = args.epsilon_decay
     return DQNConfig(
         network_type=args.network_type,
+        conv_matmul=getattr(args, "conv_matmul", False),
         hidden_layers=tuple(args.hidden_layers),
         conv_layers=args.conv_layers,
         conv_dense_layers=tuple(args.conv_dense_layers),
@@ -329,7 +330,7 @@ def build_train_step_full(
             fused_tick.full_tick_fused(
                 step_key, tstate, obs_t, ag_state.params, ag_state.epsilon,
                 step % reset_env_every == 0, env_params, k, interpret,
-                rng_rounds=rng_rounds))
+                rng_rounds=rng_rounds, net_spec=agent.net_spec))
 
         exps = {
             "obs": jnp.concatenate(
@@ -412,6 +413,11 @@ def build_train_step_ring(
 
     if capacity % num_envs != 0 or capacity < 2 * num_envs:
         raise ValueError("capacity must be a multiple of num_envs, >= 2x")
+    if agent.config.network_type == "conv" and agent.net_spec is None:
+        raise ValueError(
+            "the ring engine runs the actor in-kernel; conv networks need "
+            "conv_matmul=True (CLI: --conv_matmul) so the kernel and the "
+            "XLA-side learner share the im2col contraction structure")
     k = collect_drones
     if batch_size % k != 0:
         raise ValueError("batch_size must be a multiple of collect_drones")
@@ -481,7 +487,7 @@ def build_train_step_ring(
                 step_key, tstate, ring, read_slot, write_slot,
                 ag_state.params, ag_state.epsilon,
                 step % reset_env_every == 0, env_params, k, interpret,
-                rng_rounds=rng_rounds))
+                rng_rounds=rng_rounds, net_spec=agent.net_spec))
 
         # Scalars live at the same slot as this tick's input observation.
         if k == 1:
@@ -798,7 +804,8 @@ def train(args, metrics_logger=None) -> dict:
             * envs_per_shard,
             2 * envs_per_shard)
         if (use_sharded_fused
-                and agent_config.network_type == "dense"
+                and (agent_config.network_type == "dense"
+                     or agent.net_spec is not None)
                 and max(1, args.batch_size // ndev) % args.collect_drones
                 == 0
                 and shard_ring_capacity
@@ -866,7 +873,10 @@ def train(args, metrics_logger=None) -> dict:
         # much larger than one step's observations loses to the non-ring
         # engine's explicit push.
         ring_capacity = max(capacity, 2 * push_size)
-        dense = agent_config.network_type == "dense"
+        # In-kernel actor coverage: dense natively; conv via the im2col
+        # lowering (--conv_matmul, ops/conv2mat.py).
+        dense = (agent_config.network_type == "dense"
+                 or agent.net_spec is not None)
         # nb = ring length in env-batches (ticks); the ring engine needs a
         # small ring (donation constraint, see below) and batch_size
         # divisible by collect_drones (per-drone row-group sampling).
@@ -909,8 +919,9 @@ def train(args, metrics_logger=None) -> dict:
             bstate = buffer.init(
                 {key: template[key] for key in
                  ("obs", "actions", "rewards", "dones")})
-            # Dense nets: actor + reset fused in-kernel. Conv nets: fused
-            # env kernel with the conv actor in XLA (layout fallbacks in
+            # Dense nets (and conv nets under --conv_matmul): actor +
+            # reset fused in-kernel. Other conv nets: fused env kernel
+            # with the conv actor in XLA (layout fallbacks in
             # DQN.q_values_t / train_step_t).
             if dense:
                 tick = build_train_step_full(
@@ -1188,6 +1199,11 @@ def parse_args(argv=None):
         "--conv_layers", type=parse_conv_layers,
         default='[{"kernel_size": 3, "out_channels": 8, "padding": 1, "stride": 1}]')
     p.add_argument("--conv_dense_layers", nargs="+", type=int, default=())
+    p.add_argument("--conv_matmul", action="store_true",
+                   help="compute conv layers as im2col weight matrices "
+                        "(ops/conv2mat.py): same parameters/checkpoints, "
+                        "float sums in matmul order; unlocks the in-kernel "
+                        "conv actor (ring engine) for conv networks")
     # rewards
     p.add_argument("--pickup_reward", type=float, default=0.0)
     p.add_argument("--delivery_reward", type=float, default=1.0)

@@ -1,31 +1,35 @@
-"""Single-chip perf row for BASELINE config 5's per-chip workload.
+"""Single-chip perf row for BASELINE config 5's shape (VERDICT r2 item 10).
 
-BASELINE.json configs[4] is the multi-host target: "32k envs sharded over
-N>=2 hosts, 16x16 grid, 8 drones". Its 256-cell board exercises the
-fused kernel's float two-reduce spawn-picker fallback (boards >128 cells;
-ops/fused_tick.py) instead of the integer-composite picker the 9x9
-headline uses — so the multi-host projection needs a MEASURED per-chip
-number at this shape, not an extrapolation from the 9x9 row (VERDICT r2
-item 10).
+BASELINE.json configs[4] — the multi-host workload — is 32k envs sharded
+over N hosts on a 16x16 grid with 8 drones. The multi-host projection in
+PERF.md ("Multi-chip expectations") scales a per-chip number, so that
+number must be measured, not extrapolated from the 9x9/4-drone flagship:
+a 16x16 board has 256 cells, which crosses the fused spawner's
+rank-matmul threshold (ops/fused_tick.py: boards >256 cells take the
+float composite-argmax path) and doubles the collision-resolver's
+pairwise work (8 drones -> 28 pairs vs 6).
 
-Measures the full ring-engine training step (env physics + in-kernel
-actor + ring replay + TD/Adam) at the per-chip env shares of the
-multi-host config (4,096 = 32k/8 chips; 32,768 = whole workload on one
-chip). Same robust protocol as bench.py: AOT-ish warmup excluded,
-per-repeat host-synced timing, median reported.
+Measures the ring engine at 32,768 envs/chip (the configs[4] per-chip
+share for an 8-chip host at 4096/chip x 8, and exactly the 32k total on
+one chip) with the same robust protocol as bench.py: AOT-warmed, per-
+repeat host-synced, median over repeats.
 
-Run on the chip: python scripts/config5_bench.py
-Frozen record: scripts/config5_results.json; summarized in PERF.md.
+Run on the chip:
+    python scripts/config5_bench.py
+Appends rows to scripts/config5_results.json; row goes into PERF.md.
 """
 
 import argparse
 import json
 import os
 import statistics
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env.types import EnvParams
@@ -33,19 +37,22 @@ from dronerl_tpu.train import (
     build_train_step_ring, init_ring_carry, setup_compilation_cache)
 
 
-def measure(num_envs: int, steps: int, repeats: int, calls: int) -> dict:
-    env_params = EnvParams(grid_size=16, n_drones=8, window_radius=3)
+def measure(num_envs: int, grid_size: int, n_drones: int, collect: int,
+            steps: int, repeats: int, calls: int) -> dict:
+    env_params = EnvParams(grid_size=grid_size, n_drones=n_drones,
+                           window_radius=3)
     config = DQNConfig(
         network_type="dense", hidden_layers=(16, 16),
         epsilon_decay_every=5, target_update_interval=10, gamma=0.9)
     agent = DQN(config, env_params)
     capacity = max(-(-100_000 // num_envs) * num_envs, 2 * num_envs)
     rng = jax.random.PRNGKey(0)
+
     tick = build_train_step_ring(
         agent, env_params, num_envs, capacity, batch_size=8,
-        reset_env_every=100)
+        reset_env_every=100, collect_drones=collect)
     carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
-                            obs_dtype=jnp.bfloat16)
+                            obs_dtype=jnp.bfloat16, collect_drones=collect)
 
     @jax.jit
     def run(carry, dummy):
@@ -66,32 +73,46 @@ def measure(num_envs: int, steps: int, repeats: int, calls: int) -> dict:
         float(rewards.sum())
         times.append(time.perf_counter() - t0)
     med = statistics.median(times)
+    # obs/s counts one observation per env-step per collected drone,
+    # matching the reference metric (train_jax.py:234-236 counts
+    # num_envs * steps with its single collected drone).
     return {
-        "grid": 16, "n_drones": 8, "num_envs": num_envs,
-        "obs_per_sec": round(num_envs * steps * calls / med, 1),
+        "num_envs": num_envs, "grid_size": grid_size,
+        "n_drones": n_drones, "collect_drones": collect,
+        "obs_per_sec": round(num_envs * steps * calls * collect / med, 1),
+        "env_steps_per_sec": round(num_envs * steps * calls / med, 1),
+        "us_per_step": round(1e6 * med / (steps * calls), 1),
         "warmup_s": round(warm_s, 1),
         "repeat_s": [round(t, 4) for t in times],
     }
 
 
 def main():
-    setup_compilation_cache("/root/repo/jax_cache")
     p = argparse.ArgumentParser()
-    p.add_argument("--envs", nargs="+", type=int, default=[4096, 32768])
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--repeats", type=int, default=6)
     p.add_argument("--calls", type=int, default=4)
+    p.add_argument("--envs", type=int, default=32768)
+    p.add_argument("--collect", type=int, nargs="+", default=[1, 8],
+                   help="collect_drones values to measure")
     args = p.parse_args()
 
+    setup_compilation_cache("/root/repo/jax_cache")
     rows = []
-    for num_envs in args.envs:
-        row = measure(num_envs, args.steps, args.repeats, args.calls)
+    for collect in args.collect:
+        row = measure(args.envs, 16, 8, collect, args.steps, args.repeats,
+                      args.calls)
         rows.append(row)
         print(json.dumps(row), flush=True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "config5_results.json")
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
     with open(path, "w") as f:
-        json.dump(rows, f, indent=1)
+        json.dump(existing + rows, f, indent=1)
     print(f"wrote {path}", flush=True)
 
 

@@ -106,6 +106,13 @@ def main() -> None:
     p.add_argument("--hidden_layers", nargs="+", type=int, default=None,
                    help="dense widths; non-default writes to "
                         "quality_parity_results_dense<widths>.json")
+    p.add_argument("--wrapper", choices=["window", "global"],
+                   default="window",
+                   help="'global' is repo-only (neither reference trainer "
+                        "exposes the full-grid view on its CLI: the jax env "
+                        "raises for wrapper!='window', train_torch.py "
+                        "hardcodes WindowedGridView); writes to "
+                        "quality_parity_results_global.json")
     args = p.parse_args()
 
     global RESULTS
@@ -120,6 +127,10 @@ def main() -> None:
         RESULTS = RESULTS.replace(".json", f"_dense{widths}.json")
         extra = ("--hidden_layers", *map(str, args.hidden_layers))
         net_desc = f"dense ({widths})"
+    if args.wrapper == "global":
+        RESULTS = RESULTS.replace(".json", "_global.json")
+        extra = (*extra, "--wrapper", "global")
+        net_desc += ", global (full-grid) obs"
 
     results = {"config": {
         "num_steps": args.num_steps, "seeds": args.seeds,
@@ -139,6 +150,14 @@ def main() -> None:
         tag = "_dense" + "x".join(str(w) for w in args.hidden_layers)
     else:
         tag = ""
+    if args.wrapper == "global":
+        tag += "_global"
+        results["config"]["reference"] = (
+            "none: no reference trainer exposes a full-grid view "
+            "(jax_impl/env/env.py:275-277 raises; train_torch.py:41 "
+            "hardcodes WindowedGridView). Repo-only learning datapoint; "
+            "compare against this file's own random_reward_mean.")
+    ref_extra = () if args.wrapper == "global" else extra
     for seed in args.seeds:
         if not any(r["seed"] == seed for r in results["repo"]):
             print(f"[repo] seed {seed} ...", flush=True)
@@ -146,14 +165,17 @@ def main() -> None:
                 run_repo(seed, args.num_steps, extra, tag))
             save(results)
             print(f"[repo] seed {seed}: {results['repo'][-1]}", flush=True)
-        if not any(r["seed"] == seed for r in results["reference"]):
+        if args.wrapper != "global" and not any(
+                r["seed"] == seed for r in results["reference"]):
             print(f"[ref ] seed {seed} ...", flush=True)
             results["reference"].append(
-                run_reference(seed, args.num_steps, extra))
+                run_reference(seed, args.num_steps, ref_extra))
             save(results)
             print(f"[ref ] seed {seed}: {results['reference'][-1]}", flush=True)
 
     for side in ("reference", "repo"):
+        if not results[side]:
+            continue
         means = [r["eval_reward_mean"] for r in results[side]]
         print(f"{side}: mean over seeds = {sum(means) / len(means):.4f}  "
               f"per-seed = {[round(m, 4) for m in means]}")

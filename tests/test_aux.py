@@ -113,3 +113,32 @@ def test_benchmark_single_config_runs():
     for key in ("env_steps_per_s", "act_steps_per_s", "learn_steps_per_s",
                 "fused_obs_per_s"):
         assert row[key] > 0
+
+
+def test_tpu_numerics_lock_record_schema():
+    """Schema guard for the on-chip numerics record (recorded by
+    scripts/tpu_numerics_lock.py on the real chip; this CPU test only
+    validates its structure so a malformed re-record fails CI)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "tpu_numerics_lock.json")
+    if not os.path.exists(path):
+        pytest.skip("TPU numerics record not yet frozen")
+    with open(path) as f:
+        rec = json.load(f)
+    for section in ("int_digests", "env_floats", "learner", "meta"):
+        assert section in rec
+    assert rec["int_digests"], "no integer digests recorded"
+    for name, digest in rec["int_digests"].items():
+        assert isinstance(digest, str) and len(digest) == 64, name
+    ef = rec["env_floats"]
+    assert ef["ring_nonzero"] > 0
+    assert len(ef["ring_sample"]) > 0
+    lr = rec["learner"]
+    assert len(lr["param_abs_sums"]) >= 4  # (16,16) net: 3 layers W+b
+    assert np.isfinite(lr["q_probe"]).all()
+    assert rec["meta"]["platform"] != "cpu", (
+        "the frozen record must come from the real chip")

@@ -524,3 +524,137 @@ def test_ring_multicollect_batch_divisibility():
     with pytest.raises(ValueError, match="multiple of collect_drones"):
         build_train_step_ring(agent, params, 128, 512, batch_size=9,
                               reset_env_every=100, collect_drones=2)
+
+
+# --- conv actor via im2col lowering (ops/conv2mat.py) -----------------------
+
+
+def _conv_matmul_agents(env_params, conv_dense_layers=(), conv_layers=None):
+    kw = {}
+    if conv_layers is not None:
+        kw["conv_layers"] = conv_layers
+    flax_agent = DQN(DQNConfig(
+        network_type="conv", conv_dense_layers=conv_dense_layers,
+        epsilon_decay_every=5, target_update_interval=5, **kw), env_params)
+    mm_agent = DQN(DQNConfig(
+        network_type="conv", conv_dense_layers=conv_dense_layers,
+        conv_matmul=True,
+        epsilon_decay_every=5, target_update_interval=5, **kw), env_params)
+    return flax_agent, mm_agent
+
+
+@pytest.mark.parametrize(
+    "conv_dense_layers,conv_layers",
+    [
+        ((), None),  # CLI default: one 8ch 3x3 conv + Dense(A)
+        ((16,), None),
+        # stacked convs incl. stride-2 / no-padding (exercises the
+        # index map's downsampling branch)
+        ((), (
+            (("kernel_size", 3), ("out_channels", 8), ("padding", 1),
+             ("stride", 1)),
+            (("kernel_size", 3), ("out_channels", 4), ("padding", 0),
+             ("stride", 2)),
+        )),
+    ])
+def test_conv_matmul_forward_matches_flax(conv_dense_layers, conv_layers):
+    """The im2col weight-chain forward (conv_matmul=True) computes the
+    same function as the flax conv module — identical params pytree, Q
+    values equal up to summation order."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    flax_agent, mm_agent = _conv_matmul_agents(
+        env_params, conv_dense_layers, conv_layers)
+    st = flax_agent.init_state(jax.random.PRNGKey(0))
+    obs = jax.random.uniform(jax.random.PRNGKey(1),
+                             (32, flax_agent.obs_dim))
+    qa = np.asarray(flax_agent.q_values(st.params, obs))
+    qb = np.asarray(mm_agent.q_values(st.params, obs))
+    qbt = np.asarray(mm_agent.q_values_t(st.params, obs.T).T)
+    np.testing.assert_allclose(qa, qb, rtol=2e-5, atol=2e-6)
+    # row-major and feature-major matmul paths agree tightly
+    np.testing.assert_allclose(qb, qbt, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_full_tick_fused_conv_actor_matches_jnp_mirror():
+    """The in-kernel CONV actor (net_spec lowering) against the jnp
+    mirror of the documented RNG contract — the conv analogue of
+    test_full_tick_fused_matches_jnp_mirror."""
+    from dronerl_tpu.constants import NUM_ACTIONS
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    _, agent = _conv_matmul_agents(params, conv_dense_layers=(16,))
+    assert agent.net_spec is not None
+    rng = jax.random.PRNGKey(0)
+    ag = agent.init_state(rng)
+    states = env_core.reset_batch(rng, params, E)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, params, 1).reshape(
+        E, agent.obs_dim).T
+    eps = jnp.float32(0.7)
+
+    for t in range(4):
+        rng, skey = jax.random.split(rng)
+        tstate2, rew_t, dn_t, actions_t, obs_next = (
+            fused_tick.full_tick_fused(
+                skey, tstate, obs_t, ag.params, eps, jnp.array(False),
+                params, 1, interpret=True, net_spec=agent.net_spec))
+
+        S = jax.random.split(skey, E + 2)
+        u_act = jax.random.uniform(S[E], (params.n_drones + 1, E))
+        rand = jnp.clip(
+            jnp.floor(u_act[1:] * NUM_ACTIONS).astype(jnp.int32),
+            0, NUM_ACTIONS - 1)
+        greedy = jnp.argmax(
+            agent.q_values_t(ag.params, obs_t), axis=0).astype(jnp.int32)
+        a0 = jnp.where(u_act[0] < eps, rand[0], greedy)
+        exp_actions = jnp.concatenate([a0[None], rand[1:]], axis=0)
+        assert (np.asarray(actions_t) == np.asarray(exp_actions)).all(), t
+
+        st_ref, rew_ref, dn_ref = env_core.step_batch(
+            S[:E], states, np.asarray(exp_actions).T, params)
+        assert (np.asarray(rew_ref) == np.asarray(rew_t).T).all(), t
+        assert (np.asarray(dn_ref) == np.asarray(dn_t).T).all(), t
+
+        states = st_ref
+        tstate = tstate2
+        obs_t = obs_next
+
+
+@pytest.mark.slow
+def test_ring_trainer_conv_actor_interpret():
+    """Ring engine with a conv actor (conv_matmul lowering): aliased ring
+    preserved, training runs, ε decays — the conv analogue of
+    test_ring_trainer_interpret."""
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    cap = 4 * E
+    _, agent = _conv_matmul_agents(params, conv_dense_layers=(16,))
+    rng = jax.random.PRNGKey(0)
+    tick = build_train_step_ring(
+        agent, params, E, cap, batch_size=8, reset_env_every=100,
+        interpret=True)
+    carry = init_ring_carry(agent, params, E, cap, rng)
+    obs0 = np.asarray(carry[1][1][:, :E])
+    for t in range(3):
+        carry, (rew, eps, _loss) = tick(carry, None)
+        assert np.isfinite(np.asarray(rew)).all(), t
+    assert (np.asarray(carry[1][1][:, :E]) == obs0).all()
+    assert int(carry[-1]) == 3
+    assert float(eps) < 1.0
+    p0 = jax.tree.leaves(agent.init_state(rng).params)[0]
+    p1 = jax.tree.leaves(carry[-3].params)[0]
+    assert not (np.asarray(p0) == np.asarray(p1)).all()
+
+
+def test_ring_conv_requires_conv_matmul():
+    from dronerl_tpu.train import build_train_step_ring
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    flax_agent, _ = _conv_matmul_agents(params)
+    with pytest.raises(ValueError, match="conv_matmul"):
+        build_train_step_ring(flax_agent, params, 128, 512, batch_size=8,
+                              reset_env_every=100)

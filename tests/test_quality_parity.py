@@ -64,6 +64,36 @@ def test_recorded_parity_within_seed_variance(results):
         assert agent > rand + 0.1
 
 
+_GLOBAL_RESULT_FILES = {
+    "global": os.path.join(
+        REPO, "scripts", "quality_parity_results_global.json"),
+    "conv_global": os.path.join(
+        REPO, "scripts", "quality_parity_results_conv_global.json"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_GLOBAL_RESULT_FILES))
+def test_global_wrapper_learning_datapoint(name):
+    """--wrapper global runs are repo-only (no reference trainer exposes
+    the full-grid view — jax_impl/env/env.py:275-277 raises,
+    train_torch.py:41 hardcodes WindowedGridView), so the lock is
+    against the run's own random-policy baseline: the trained agent must
+    decisively beat random on the global observation surface."""
+    path = _GLOBAL_RESULT_FILES[name]
+    if not os.path.exists(path):
+        pytest.skip(f"{name} quality experiment not run")
+    with open(path) as f:
+        data = json.load(f)
+    assert data["reference"] == []  # repo-only by design
+    rows = data["repo"]
+    assert len(rows) >= 3
+    agent = statistics.mean(r["eval_reward_mean"] for r in rows)
+    rand = statistics.mean(r["random_reward_mean"] for r in rows)
+    assert agent > rand + 0.03, (
+        f"global-obs agent {agent:.4f} not decisively above random "
+        f"{rand:.4f}")
+
+
 @pytest.mark.slow
 def test_fresh_repo_run_lands_in_reference_band(tmp_path):
     """Train 50k steps at the matched (dense) config NOW and assert the
