@@ -294,7 +294,10 @@ class DistributedTrainer:
         interpret = self.interpret
         obs_dim = agent.obs_dim
 
-        dense = agent.config.network_type == "dense"
+        # In-kernel actor coverage: dense natively; conv via the im2col
+        # lowering (conv_matmul=True, ops/conv2mat.py).
+        dense = (agent.config.network_type == "dense"
+                 or agent.net_spec is not None)
         rng_rounds = self.rng_rounds
 
         def tick(carry, _):
@@ -312,7 +315,7 @@ class DistributedTrainer:
                         step_key, tstate, obs_t, ag_state.params,
                         ag_state.epsilon, step % reset_env_every == 0,
                         env_params, k, interpret, vma=(axis,),
-                        rng_rounds=rng_rounds))
+                        rng_rounds=rng_rounds, net_spec=agent.net_spec))
             else:
                 # Conv nets: fused env kernel with the actor in XLA (the
                 # same composition as the single-chip fused path — the
@@ -411,7 +414,7 @@ class DistributedTrainer:
                     step_key, tstate, ring, read_slot, write_slot,
                     ag_state.params, ag_state.epsilon,
                     step % reset_env_every == 0, env_params, k, interpret,
-                    rng_rounds=rng_rounds))
+                    rng_rounds=rng_rounds, net_spec=agent.net_spec))
 
             if k == 1:
                 a_ring = jax.lax.dynamic_update_slice(

@@ -98,21 +98,19 @@ def main():
     args = p.parse_args()
 
     setup_compilation_cache("/root/repo/jax_cache")
-    rows = []
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "config5_results.json")
     for collect in args.collect:
         row = measure(args.envs, 16, 8, collect, args.steps, args.repeats,
                       args.calls)
-        rows.append(row)
         print(json.dumps(row), flush=True)
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "config5_results.json")
-    existing = []
-    if os.path.exists(path):
-        with open(path) as f:
-            existing = json.load(f)
-    with open(path, "w") as f:
-        json.dump(existing + rows, f, indent=1)
+        # Save per point — a backend flap mid-run must not lose data.
+        existing = []
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        with open(path, "w") as f:
+            json.dump(existing + [row], f, indent=1)
     print(f"wrote {path}", flush=True)
 
 

@@ -116,22 +116,20 @@ def main():
     args = p.parse_args()
 
     idxs = args.points if args.points is not None else range(len(POINTS))
-    rows = []
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "knee_results.json")
     for i in idxs:
         envs, radius, block = POINTS[i]
         row = measure(envs, radius, args.steps, args.repeats, args.calls,
                       max_block=block)
-        rows.append(row)
         print(json.dumps(row), flush=True)
-
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "knee_results.json")
-    existing = []
-    if os.path.exists(path):
-        with open(path) as f:
-            existing = json.load(f)
-    with open(path, "w") as f:
-        json.dump(existing + rows, f, indent=1)
+        # Save per point — a backend flap mid-grid must not lose data.
+        existing = []
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        with open(path, "w") as f:
+            json.dump(existing + [row], f, indent=1)
     print(f"wrote {path}", flush=True)
 
 

@@ -116,9 +116,12 @@ def test_fused_engine_chunk_interpret():
 
 
 @pytest.mark.slow
-def test_fused_engine_conv_chunk_interpret():
-    """Conv nets under the sharded fused engine: the fused env kernel
-    runs per shard with the conv actor in XLA (no silent jnp downgrade)."""
+@pytest.mark.parametrize("conv_matmul", [False, True])
+def test_fused_engine_conv_chunk_interpret(conv_matmul):
+    """Conv nets under the sharded fused engine: with conv_matmul=False
+    the fused env kernel runs per shard with the conv actor in XLA (no
+    silent jnp downgrade); with conv_matmul=True the actor runs
+    in-kernel via the im2col lowering (ops/conv2mat.py)."""
     env_params = EnvParams(grid_size=9, n_drones=4)
     agent = DQN(
         DQNConfig(
@@ -126,6 +129,7 @@ def test_fused_engine_conv_chunk_interpret():
             conv_layers=({"out_channels": 4, "kernel_size": 3,
                           "stride": 1, "padding": 1},),
             conv_dense_layers=(8,),
+            conv_matmul=conv_matmul,
             epsilon_decay_every=5,
             target_update_interval=5),
         env_params)
@@ -159,6 +163,38 @@ def test_ring_engine_chunk_interpret():
     assert int(carry[-1]) == 3
     assert float(carry[-3].epsilon) < 1.0
     # params replicated across shards after psum-synced updates
+    for leaf in jax.tree.leaves(carry[-3].params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.slow
+def test_ring_engine_conv_matmul_chunk_interpret():
+    """Sharded ring engine with a CONV actor (im2col lowering,
+    conv_matmul=True): each shard's kernel runs the conv net as a dense
+    matmul chain; learner stays replicated through the pmean sync."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(
+        DQNConfig(network_type="conv", conv_dense_layers=(16,),
+                  conv_matmul=True, epsilon_decay_every=5,
+                  target_update_interval=5), env_params)
+    assert agent.net_spec is not None
+    mesh = make_env_mesh(4)
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=4 * 128,
+        buffer_capacity_per_shard=4 * 128,
+        batch_size_per_shard=4,
+        engine="ring",
+        interpret=True,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    chunk = trainer.build_chunk(scan_steps=3)
+    carry, (rewards, losses) = chunk(carry)
+    assert rewards.shape == (3, 4 * 128)
+    assert np.isfinite(np.asarray(rewards)).all()
+    assert float(carry[-3].epsilon) < 1.0
     for leaf in jax.tree.leaves(carry[-3].params):
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
