@@ -37,7 +37,6 @@ import numpy as np
 
 __all__ = [
     "net_layer_specs", "effective_dense_params", "conv_out_hw",
-    "effective_weight_bytes",
 ]
 
 
@@ -143,26 +142,3 @@ def effective_dense_params(net_params, net_spec):
     return out
 
 
-def effective_weight_bytes(config, obs_shape) -> int:
-    """f32 bytes of the lowered weight chain (kernel VMEM budgeting)."""
-    specs = net_layer_specs(config, obs_shape)
-    if specs is None:
-        return 0
-    h, w, c = obs_shape
-    total = 0
-    dims = h * w * c
-    dense_widths = list(config.conv_dense_layers) + [5]
-    di = 0
-    for spec in specs:
-        if spec[0] == "conv":
-            _, h_, w_, ci, co, k, s, p, _ = spec
-            h_out, w_out = conv_out_hw(h_, w_, k, s, p)
-            out_dim = h_out * w_out * co
-            total += 4 * (dims * out_dim + out_dim)
-            dims = out_dim
-        else:
-            out_dim = dense_widths[di]
-            total += 4 * (dims * out_dim + out_dim)
-            dims = out_dim
-            di += 1
-    return total

@@ -63,6 +63,7 @@ periodic reset uses ``core.reset_batch`` semantics with base key
 """
 
 import functools
+import math
 import os
 from typing import NamedTuple, Tuple
 
@@ -91,6 +92,11 @@ _FULL_KERNEL_MAX_BLOCK = 512
 # higher cap. Tuned on v5e — override with DRONERL_VMEM_LIMIT_BYTES on
 # chip generations with less scoped VMEM (0 = keep the Mosaic default).
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+# Fail-fast cap for the actor weight chain (dense widths or im2col conv
+# matrices): it must leave at least half of _VMEM_LIMIT free for the obs
+# blocks and env state the kernel also pins in VMEM.
+_NET_WEIGHT_VMEM_BUDGET = _VMEM_LIMIT // 2
 
 
 def _compiler_params(raise_vmem: bool = True):
@@ -925,6 +931,22 @@ def _flatten_net_params(net_params, net_spec) -> Tuple[list, int]:
         return _flatten_dense_params(net_params)
     from dronerl_tpu.ops import conv2mat
 
+    # The whole weight chain sits in VMEM per grid block; an oversized
+    # im2col lowering (large grids / global obs / deep stacks) must fail
+    # readably here — before the matrices are even built, covering every
+    # engine call site — instead of dying inside Mosaic with an opaque
+    # allocation error. eval_shape keeps the size check free.
+    shapes = jax.eval_shape(
+        lambda p: conv2mat.effective_dense_params(p, net_spec), net_params)
+    weight_bytes = sum(
+        4 * (math.prod(w.shape) + math.prod(b.shape)) for w, b in shapes)
+    if weight_bytes > _NET_WEIGHT_VMEM_BUDGET:
+        raise ValueError(
+            f"conv_matmul weight chain is {weight_bytes / 2**20:.1f} MB "
+            f"(f32) > {_NET_WEIGHT_VMEM_BUDGET / 2**20:.0f} MB in-kernel "
+            f"budget — the im2col matrices for this conv config don't fit "
+            f"scoped VMEM next to the obs blocks; use the fused engine "
+            f"without --conv_matmul (conv actor in XLA) instead")
     chain = conv2mat.effective_dense_params(net_params, net_spec)
     flat = []
     for w, b in chain:

@@ -658,3 +658,22 @@ def test_ring_conv_requires_conv_matmul():
     with pytest.raises(ValueError, match="conv_matmul"):
         build_train_step_ring(flax_agent, params, 128, 512, batch_size=8,
                               reset_env_every=100)
+
+
+def test_conv_matmul_vmem_budget_guard():
+    """An oversized im2col lowering must fail readably at trace time, not
+    inside Mosaic: a wide conv stack on a big board blows the in-kernel
+    weight budget."""
+    env_params = EnvParams(grid_size=24, n_drones=4, wrapper="global")
+    agent = DQN(DQNConfig(
+        network_type="conv", conv_matmul=True,
+        conv_layers=(
+            {"kernel_size": 3, "out_channels": 64, "padding": 1,
+             "stride": 1},
+            {"kernel_size": 3, "out_channels": 64, "padding": 1,
+             "stride": 1},
+        ),
+        conv_dense_layers=(64,), epsilon_decay_every=5), env_params)
+    st = agent.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="VMEM|budget"):
+        fused_tick._flatten_net_params(st.params, agent.net_spec)
