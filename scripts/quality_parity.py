@@ -106,6 +106,12 @@ def main() -> None:
     p.add_argument("--hidden_layers", nargs="+", type=int, default=None,
                    help="dense widths; non-default writes to "
                         "quality_parity_results_dense<widths>.json")
+    p.add_argument("--conv_matmul", action="store_true",
+                   help="repo side runs the im2col conv lowering "
+                        "(--conv_matmul); no reference runs of its own — "
+                        "compare against the frozen reference band in "
+                        "quality_parity_results_conv.json; writes to "
+                        "quality_parity_results_conv_matmul.json")
     p.add_argument("--wrapper", choices=["window", "global"],
                    default="window",
                    help="'global' is repo-only (neither reference trainer "
@@ -118,10 +124,16 @@ def main() -> None:
     global RESULTS
     extra = ()
     net_desc = "dense (16,16)"
+    if args.conv_matmul and args.network_type != "conv":
+        p.error("--conv_matmul requires --network_type conv")
     if args.network_type == "conv":
         RESULTS = RESULTS.replace(".json", "_conv.json")
         extra = ("--network_type", "conv")
         net_desc = "conv (8ch 3x3, CLI default)"
+        if args.conv_matmul:
+            RESULTS = RESULTS.replace("_conv.json", "_conv_matmul.json")
+            extra = (*extra, "--conv_matmul")
+            net_desc += ", im2col matmul lowering"
     elif args.hidden_layers:
         widths = "x".join(str(w) for w in args.hidden_layers)
         RESULTS = RESULTS.replace(".json", f"_dense{widths}.json")
@@ -145,7 +157,7 @@ def main() -> None:
             results = prev
 
     if args.network_type == "conv":
-        tag = "_conv"
+        tag = "_conv_matmul" if args.conv_matmul else "_conv"
     elif args.hidden_layers:
         tag = "_dense" + "x".join(str(w) for w in args.hidden_layers)
     else:
@@ -157,6 +169,13 @@ def main() -> None:
             "(jax_impl/env/env.py:275-277 raises; train_torch.py:41 "
             "hardcodes WindowedGridView). Repo-only learning datapoint; "
             "compare against this file's own random_reward_mean.")
+    if args.conv_matmul:
+        results["config"]["reference"] = (
+            "frozen reference conv band in quality_parity_results_conv.json"
+            " — the lowering changes only float summation order, so the "
+            "flax-conv reference rows are the comparison baseline; no "
+            "reference runs are repeated here.")
+    skip_reference = args.wrapper == "global" or args.conv_matmul
     ref_extra = () if args.wrapper == "global" else extra
     for seed in args.seeds:
         if not any(r["seed"] == seed for r in results["repo"]):
@@ -165,7 +184,7 @@ def main() -> None:
                 run_repo(seed, args.num_steps, extra, tag))
             save(results)
             print(f"[repo] seed {seed}: {results['repo'][-1]}", flush=True)
-        if args.wrapper != "global" and not any(
+        if not skip_reference and not any(
                 r["seed"] == seed for r in results["reference"]):
             print(f"[ref ] seed {seed} ...", flush=True)
             results["reference"].append(

@@ -473,6 +473,43 @@ def test_fused_trainer_global_wrapper_interpret():
     assert float(eps) < 1.0
 
 
+def test_ring_trainer_global_interpret():
+    """Ring engine with wrapper='global': the in-kernel full-grid encoder
+    writes 486-dim observation rows into the aliased ring and the actor
+    consumes them — verified against the env core's global observation."""
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4, wrapper="global")
+    E = 128
+    cap = 4 * E
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), params)
+    assert agent.obs_dim == 9 * 9 * 6
+    rng = jax.random.PRNGKey(0)
+    tick = build_train_step_ring(
+        agent, params, E, cap, batch_size=8, reset_env_every=100,
+        interpret=True)
+    carry = init_ring_carry(agent, params, E, cap, rng)
+    assert carry[1][1].shape == (agent.obs_dim, cap)
+    for t in range(3):
+        carry, (rew, eps, _loss) = tick(carry, None)
+        assert np.isfinite(np.asarray(rew)).all(), t
+    # Ring block for tick 3 must hold the true full-grid view of the
+    # post-tick env state.
+    _, (tstate, ring) = carry[0], carry[1]
+    state = fused_tick.from_tstate(tstate, params)
+    expect = np.asarray(
+        env_core.observe_batch(state, params, 1).reshape(
+            E, agent.obs_dim).T)
+    got = np.asarray(ring[:, 3 * E:4 * E], dtype=np.float32)
+    np.testing.assert_allclose(got, expect, atol=1.4e-7)
+    # learner trained on global observations
+    p0 = jax.tree.leaves(agent.init_state(rng).params)[0]
+    p1 = jax.tree.leaves(carry[-3].params)[0]
+    assert not (np.asarray(p0) == np.asarray(p1)).all()
+    assert float(eps) < 1.0
+
+
 def test_ring_trainer_multicollect_interpret():
     """Ring engine widened to collect_drones > 1 (round 3): per-drone
     obs row groups in each ring column, (k, cap) scalar rings, per-drone

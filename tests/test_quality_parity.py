@@ -64,6 +64,33 @@ def test_recorded_parity_within_seed_variance(results):
         assert agent > rand + 0.1
 
 
+def test_conv_matmul_lands_in_conv_reference_band():
+    """--conv_matmul (the im2col lowering that runs the conv actor inside
+    the fused Pallas kernel, ops/conv2mat.py) changes only float summation
+    order vs the flax conv path, so its quality lock is the SAME frozen
+    reference band as the conv experiment: repo runs from
+    quality_parity_results_conv_matmul.json must sit inside the reference
+    rows of quality_parity_results_conv.json."""
+    path = os.path.join(
+        REPO, "scripts", "quality_parity_results_conv_matmul.json")
+    if not (os.path.exists(path) and os.path.exists(RESULTS_CONV)):
+        pytest.skip("conv_matmul quality experiment not run")
+    with open(path) as f:
+        data = json.load(f)
+    with open(RESULTS_CONV) as f:
+        conv = json.load(f)
+    assert data["reference"] == []  # compares against the conv band
+    rows = data["repo"]
+    assert len(rows) >= 3
+    lo, hi = band(conv["reference"])
+    repo_mean = statistics.mean(r["eval_reward_mean"] for r in rows)
+    assert lo <= repo_mean <= hi, (
+        f"conv_matmul repo mean {repo_mean:.4f} outside conv reference "
+        f"band [{lo:.4f}, {hi:.4f}]")
+    rand = statistics.mean(r["random_reward_mean"] for r in rows)
+    assert repo_mean > rand + 0.1
+
+
 _GLOBAL_RESULT_FILES = {
     "global": os.path.join(
         REPO, "scripts", "quality_parity_results_global.json"),
