@@ -616,6 +616,34 @@ def fused_engine_problems(env_params: EnvParams, num_envs: int) -> list:
     return problems
 
 
+def ring_skip_reasons(dense: bool, ring_capacity: int, push_size: int,
+                      batch_size: int, collect_drones: int) -> list:
+    """Why a fused-engine config fell off the ring engine (auto-select).
+
+    Mirrors the ``use_ring`` predicate in ``main``; each reason names the
+    gate AND the lever that re-enables the fastest engine, so crossing a
+    gate is a visible, explained perf cliff instead of a silent one
+    (PERF.md "a donated buffer tolerates no second reader" for the ring-
+    size gate).
+    """
+    reasons = []
+    if not dense:
+        reasons.append(
+            "conv network without --conv_matmul (the im2col lowering "
+            "lets conv nets run in-kernel)")
+    if ring_capacity > 4 * push_size:
+        reasons.append(
+            f"replay ring of {ring_capacity} transitions > 4 env-batches "
+            f"({4 * push_size}); a larger donated ring makes XLA copy it "
+            "every step — shrink --memory_size or raise --num_envs to "
+            "re-enable the ring engine")
+    if batch_size % collect_drones != 0:
+        reasons.append(
+            f"--batch_size {batch_size} not divisible by "
+            f"--collect_drones {collect_drones}")
+    return reasons
+
+
 def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
                          use_ring: bool, use_fused: bool, step: int,
                          probe: int = 1024) -> None:
@@ -816,6 +844,17 @@ def train(args, metrics_logger=None) -> dict:
         else:
             sharded_engine = "jnp"
         logger.info("Sharded engine: %s", sharded_engine)
+        if sharded_engine == "fused":
+            logger.info(
+                "Per-shard ring engine skipped (%s); the fused engine is "
+                "typically ~25-35%% slower at large env batches",
+                "; ".join(ring_skip_reasons(
+                    agent_config.network_type == "dense"
+                    or agent.net_spec is not None,
+                    shard_ring_capacity,
+                    envs_per_shard * args.collect_drones,
+                    max(1, args.batch_size // ndev),
+                    args.collect_drones)))
         if getattr(args, "fast_rng", False) and sharded_engine == "jnp":
             logger.warning("--fast_rng only affects the fused engines; "
                            "the jnp engine always uses jax.random")
@@ -893,6 +932,16 @@ def train(args, metrics_logger=None) -> dict:
             logger.warning("--fast_rng only affects the fused engines; "
                            "the jnp engine always uses jax.random")
         logger.info("Engine: %s", engine_name)
+        if use_fused and not use_ring:
+            # Tell the user WHY the fastest engine was skipped and what
+            # crossing the gate costs (the perf cliff is ~25-35% obs/s
+            # at the flagship shape — PERF.md "Where a step goes now").
+            logger.info(
+                "Ring engine skipped (%s); the fused engine is typically "
+                "~25-35%% slower at large env batches",
+                "; ".join(ring_skip_reasons(
+                    dense, ring_capacity, push_size, args.batch_size,
+                    args.collect_drones)))
         if use_ring:
             # Ring engine: the replay ring is the kernel's obs buffer.
             # bf16 obs storage halves the kernel's ring write (+3-7%
