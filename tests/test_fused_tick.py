@@ -510,6 +510,49 @@ def test_ring_trainer_global_interpret():
     assert float(eps) < 1.0
 
 
+@pytest.mark.slow
+def test_ring_trainer_resume_bitwise_interpret(tmp_path):
+    """Full-state save/resume is engine-agnostic (train_state_io is a
+    template-based pytree restore); this locks it for the RING carry
+    specifically: tick(6) ≡ tick(3) → save → restore → tick(3), every
+    carry leaf bitwise identical (incl. the aliased obs ring and the
+    scalar rings). The CPU-side resume lock (tests/test_train.py::
+    test_resume_bitwise_equivalence) only exercises the jnp engine."""
+    import os
+
+    from dronerl_tpu.interop import train_state_io
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    cap = 4 * E
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), params)
+    rng = jax.random.PRNGKey(0)
+    tick = build_train_step_ring(
+        agent, params, E, cap, batch_size=8, reset_env_every=100,
+        interpret=True)
+
+    def run(carry, n):
+        for _ in range(n):
+            carry, _out = tick(carry, None)
+        return carry
+
+    full = run(init_ring_carry(agent, params, E, cap, rng), 6)
+
+    half = run(init_ring_carry(agent, params, E, cap, rng), 3)
+    path = os.path.join(str(tmp_path), "ring_state.msgpack")
+    train_state_io.save(path, half)
+    template = init_ring_carry(agent, params, E, cap, rng)
+    resumed = run(train_state_io.restore(path, template), 3)
+
+    leaves_a, treedef_a = jax.tree.flatten(full)
+    leaves_b, treedef_b = jax.tree.flatten(resumed)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_ring_trainer_multicollect_interpret():
     """Ring engine widened to collect_drones > 1 (round 3): per-drone
     obs row groups in each ring column, (k, cap) scalar rings, per-drone
