@@ -107,6 +107,39 @@ def test_resume_bitwise_equivalence(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_resume_bitwise_equivalence_sharded(tmp_path):
+    """The resume lock for the SHARDED trainer: the restore template is
+    a mesh-sharded carry (8 virtual CPU devices), so this guards both
+    the pytree structure and the resharding of restored host arrays
+    back onto the ('dp',) mesh."""
+    from flax import serialization
+
+    common = dict(num_envs=8, use_sharding=True, skip_final_eval=True,
+                  save_train_state=True, epsilon_decay=0.995)
+    full = make_args(tmp_path, num_steps=60,
+                     run_dir=str(tmp_path / "full"), **common)
+    train_mod.train(full)
+
+    half1 = make_args(tmp_path, num_steps=30,
+                      run_dir=str(tmp_path / "half1"), **common)
+    train_mod.train(half1)
+    half2 = make_args(tmp_path, num_steps=30,
+                      run_dir=str(tmp_path / "half2"), **common)
+    half2.resume_from = os.path.join(half1.run_dir, "train_state.msgpack")
+    train_mod.train(half2)
+
+    def load(run_dir):
+        with open(os.path.join(run_dir, "train_state.msgpack"), "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    a, b = load(full.run_dir), load(half2.run_dir)
+    leaves_a, treedef_a = jax.tree.flatten(a)
+    leaves_b, treedef_b = jax.tree.flatten(b)
+    assert treedef_a == treedef_b
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_warm_start_installs_checkpoint_params(tmp_path):
     """--load_from_checkpoint seeds online + target nets from the file;
     network topology comes from the checkpoint metadata, not the CLI."""
