@@ -73,6 +73,7 @@ def measure(args, num_envs: int) -> dict:
         "num_envs": num_envs,
         "network_type": args.network_type,
         "conv_matmul": args.conv_matmul,
+        "interpret": args.interpret,
         "grid_size": args.grid_size, "n_drones": args.n_drones,
         "window_radius": args.window_radius,
         "collect_drones": args.collect_drones,

@@ -169,6 +169,11 @@ def main():
                         "record is chip-native)")
     args = p.parse_args()
 
+    if args.interpret:
+        # Debug mode must not depend on the chip being reachable: force
+        # the CPU backend before the first JAX call (env vars are
+        # overridden by the preregistered TPU plugin — see ring_bench.py).
+        jax.config.update("jax_platforms", "cpu")
     setup_compilation_cache("/root/repo/jax_cache")
     dev = jax.devices()[0]
     t0 = time.perf_counter()
