@@ -93,18 +93,25 @@ _FULL_KERNEL_MAX_BLOCK = 512
 # chip generations with less scoped VMEM (0 = keep the Mosaic default).
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-# Fail-fast cap for the actor weight chain (dense widths or im2col conv
-# matrices): it must leave at least half of _VMEM_LIMIT free for the obs
-# blocks and env state the kernel also pins in VMEM.
-_NET_WEIGHT_VMEM_BUDGET = _VMEM_LIMIT // 2
-
-
 def _compiler_params(raise_vmem: bool = True):
     limit = int(os.environ.get("DRONERL_VMEM_LIMIT_BYTES",
                                _VMEM_LIMIT if raise_vmem else 0))
     if limit <= 0:
         return pltpu.CompilerParams()
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _net_weight_vmem_budget() -> int:
+    """Fail-fast cap for the actor weight chain (dense widths or im2col
+    conv matrices): it must leave at least half the kernel's *effective*
+    VMEM limit free for the obs blocks and env state also pinned in
+    VMEM. Tracks the DRONERL_VMEM_LIMIT_BYTES override so the guard and
+    the actual Mosaic budget cannot disagree (0/unset-to-default = the
+    ~16MB Mosaic default when the raised cap is disabled)."""
+    limit = int(os.environ.get("DRONERL_VMEM_LIMIT_BYTES", _VMEM_LIMIT))
+    if limit <= 0:
+        limit = 16 * 1024 * 1024
+    return limit // 2
 
 _U32 = jnp.uint32
 
@@ -940,10 +947,11 @@ def _flatten_net_params(net_params, net_spec) -> Tuple[list, int]:
         lambda p: conv2mat.effective_dense_params(p, net_spec), net_params)
     weight_bytes = sum(
         4 * (math.prod(w.shape) + math.prod(b.shape)) for w, b in shapes)
-    if weight_bytes > _NET_WEIGHT_VMEM_BUDGET:
+    budget = _net_weight_vmem_budget()
+    if weight_bytes > budget:
         raise ValueError(
             f"conv_matmul weight chain is {weight_bytes / 2**20:.1f} MB "
-            f"(f32) > {_NET_WEIGHT_VMEM_BUDGET / 2**20:.0f} MB in-kernel "
+            f"(f32) > {budget / 2**20:.0f} MB in-kernel "
             f"budget — the im2col matrices for this conv config don't fit "
             f"scoped VMEM next to the obs blocks; use the fused engine "
             f"without --conv_matmul (conv actor in XLA) instead")
@@ -1180,3 +1188,81 @@ def full_tick_fused_ring(
         actions,
         ring_out,
     )
+
+
+# --- XLA-side companions of the ring kernel --------------------------------
+# The single-chip trainer (train.build_train_step_ring) and the sharded
+# trainer (parallel.distributed, per-shard under shard_map) drive the ring
+# kernel with identical slot arithmetic; these two helpers are that shared
+# logic, so the engines cannot silently diverge.
+
+def ring_scalar_writes(a_ring, r_ring, d_ring, actions_t, rewards_t,
+                       dones_t, read_slot, collect: int):
+    """Record this tick's scalars at the slot of its input observation.
+
+    ``collect`` == 1 keeps the historical flat (capacity,) ring shapes
+    (the shipped bench cache stays valid); k > 1 rings carry a leading k
+    axis and store all k drones' transitions per column.
+    """
+    if collect == 1:
+        a_ring = jax.lax.dynamic_update_slice(
+            a_ring, actions_t[0], (read_slot,))
+        r_ring = jax.lax.dynamic_update_slice(
+            r_ring, rewards_t[0], (read_slot,))
+        d_ring = jax.lax.dynamic_update_slice(
+            d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
+    else:
+        k = collect
+        a_ring = jax.lax.dynamic_update_slice(
+            a_ring, actions_t[:k], (0, read_slot))
+        r_ring = jax.lax.dynamic_update_slice(
+            r_ring, rewards_t[:k], (0, read_slot))
+        d_ring = jax.lax.dynamic_update_slice(
+            d_ring, dones_t[:k].astype(jnp.int8), (0, read_slot))
+    return a_ring, r_ring, d_ring
+
+
+def ring_gather_batch(sample_key, ring, a_ring, r_ring, d_ring, valid,
+                      base_step, *, num_envs: int, capacity: int,
+                      batch_size: int, collect: int, obs_dim: int):
+    """Uniform replay sample straight off the aliased ring buffers.
+
+    Draws over ``valid`` complete columns starting at ``base_step``'s
+    slot; next_obs is the following slot (the kernel wrote it this tick).
+    ``collect`` = k > 1 samples batch_size//k column indices per drone
+    row-group so every obs gather keeps a static row slice (no dynamic
+    rows inside jit).
+    """
+    k = collect
+    nb = capacity // num_envs
+    base_slot = (base_step % nb) * num_envs
+    if k == 1:
+        raw = jax.random.randint(
+            sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
+        phys = (base_slot + raw) % capacity
+        nxt = (phys + num_envs) % capacity
+        return {
+            "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
+            "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
+            "actions": jnp.take(a_ring, phys, axis=0),
+            "rewards": jnp.take(r_ring, phys, axis=0),
+            "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
+        }
+    raw = jax.random.randint(
+        sample_key, (k, batch_size // k), 0, jnp.maximum(valid, 1))
+    parts = {key: [] for key in
+             ("obs", "next_obs", "actions", "rewards", "dones")}
+    for j in range(k):
+        phys = (base_slot + raw[j]) % capacity
+        nxt = (phys + num_envs) % capacity
+        rows = ring[j * obs_dim:(j + 1) * obs_dim]
+        parts["obs"].append(
+            jnp.take(rows, phys, axis=1).astype(jnp.float32))
+        parts["next_obs"].append(
+            jnp.take(rows, nxt, axis=1).astype(jnp.float32))
+        parts["actions"].append(jnp.take(a_ring[j], phys, axis=0))
+        parts["rewards"].append(jnp.take(r_ring[j], phys, axis=0))
+        parts["dones"].append(
+            jnp.take(d_ring[j], phys, axis=0).astype(jnp.float32))
+    return {key: jnp.concatenate(vals, axis=-1)
+            for key, vals in parts.items()}

@@ -416,61 +416,19 @@ class DistributedTrainer:
                     step % reset_env_every == 0, env_params, k, interpret,
                     rng_rounds=rng_rounds, net_spec=agent.net_spec))
 
-            if k == 1:
-                a_ring = jax.lax.dynamic_update_slice(
-                    a_ring, actions_t[0], (read_slot,))
-                r_ring = jax.lax.dynamic_update_slice(
-                    r_ring, rewards_t[0], (read_slot,))
-                d_ring = jax.lax.dynamic_update_slice(
-                    d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
-            else:
-                a_ring = jax.lax.dynamic_update_slice(
-                    a_ring, actions_t[:k], (0, read_slot))
-                r_ring = jax.lax.dynamic_update_slice(
-                    r_ring, rewards_t[:k], (0, read_slot))
-                d_ring = jax.lax.dynamic_update_slice(
-                    d_ring, dones_t[:k].astype(jnp.int8), (0, read_slot))
+            a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(
+                a_ring, r_ring, d_ring, actions_t, rewards_t, dones_t,
+                read_slot, k)
 
+            # Complete tuples after tick t: steps [max(0, t+2-nb), t] —
+            # identical slot arithmetic to the single-chip ring engine
+            # (the shared helpers keep the two from diverging).
             valid = jnp.minimum(step + 1, nb - 1) * eps
             base_step = jnp.maximum(0, step + 2 - nb)
-            base_slot = (base_step % nb) * eps
-            if k == 1:
-                raw = jax.random.randint(
-                    sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
-                phys = (base_slot + raw) % capacity
-                nxt = (phys + eps) % capacity
-                batch = {
-                    "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
-                    "next_obs": jnp.take(ring, nxt, axis=1).astype(
-                        jnp.float32),
-                    "actions": jnp.take(a_ring, phys, axis=0),
-                    "rewards": jnp.take(r_ring, phys, axis=0),
-                    "dones": jnp.take(d_ring, phys, axis=0).astype(
-                        jnp.float32),
-                }
-            else:
-                raw = jax.random.randint(
-                    sample_key, (k, batch_size // k), 0,
-                    jnp.maximum(valid, 1))
-                parts = {key: [] for key in
-                         ("obs", "next_obs", "actions", "rewards", "dones")}
-                for j in range(k):
-                    phys = (base_slot + raw[j]) % capacity
-                    nxt = (phys + eps) % capacity
-                    rows = ring[j * obs_dim:(j + 1) * obs_dim]
-                    parts["obs"].append(
-                        jnp.take(rows, phys, axis=1).astype(jnp.float32))
-                    parts["next_obs"].append(
-                        jnp.take(rows, nxt, axis=1).astype(jnp.float32))
-                    parts["actions"].append(
-                        jnp.take(a_ring[j], phys, axis=0))
-                    parts["rewards"].append(
-                        jnp.take(r_ring[j], phys, axis=0))
-                    parts["dones"].append(
-                        jnp.take(d_ring[j], phys, axis=0).astype(
-                            jnp.float32))
-                batch = {key: jnp.concatenate(vals, axis=-1)
-                         for key, vals in parts.items()}
+            batch = fused_tick.ring_gather_batch(
+                sample_key, ring, a_ring, r_ring, d_ring, valid, base_step,
+                num_envs=eps, capacity=capacity, batch_size=batch_size,
+                collect=k, obs_dim=obs_dim)
 
             def do_train(op):
                 return agent.train_step_t(op[0], op[1], axis_name=axis)

@@ -434,40 +434,10 @@ def build_train_step_ring(
 
         def gather_batch(ring, valid, base_step):
             """Uniform sample over ``valid`` slots starting at base_step."""
-            base_slot = (base_step % nb) * num_envs
-            if k == 1:
-                raw = jax.random.randint(
-                    sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
-                phys = (base_slot + raw) % capacity
-                nxt = (phys + num_envs) % capacity
-                return {
-                    "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
-                    "next_obs": jnp.take(ring, nxt, axis=1).astype(
-                        jnp.float32),
-                    "actions": jnp.take(a_ring, phys, axis=0),
-                    "rewards": jnp.take(r_ring, phys, axis=0),
-                    "dones": jnp.take(d_ring, phys, axis=0).astype(
-                        jnp.float32),
-                }
-            # k > 1: per-drone row groups sampled with static row slices.
-            raw = jax.random.randint(
-                sample_key, (k, batch_size // k), 0, jnp.maximum(valid, 1))
-            parts = {key: [] for key in
-                     ("obs", "next_obs", "actions", "rewards", "dones")}
-            for j in range(k):
-                phys = (base_slot + raw[j]) % capacity
-                nxt = (phys + num_envs) % capacity
-                rows = ring[j * obs_dim:(j + 1) * obs_dim]
-                parts["obs"].append(
-                    jnp.take(rows, phys, axis=1).astype(jnp.float32))
-                parts["next_obs"].append(
-                    jnp.take(rows, nxt, axis=1).astype(jnp.float32))
-                parts["actions"].append(jnp.take(a_ring[j], phys, axis=0))
-                parts["rewards"].append(jnp.take(r_ring[j], phys, axis=0))
-                parts["dones"].append(
-                    jnp.take(d_ring[j], phys, axis=0).astype(jnp.float32))
-            return {key: jnp.concatenate(vals, axis=-1)
-                    for key, vals in parts.items()}
+            return fused_tick.ring_gather_batch(
+                sample_key, ring, a_ring, r_ring, d_ring, valid, base_step,
+                num_envs=num_envs, capacity=capacity, batch_size=batch_size,
+                collect=k, obs_dim=obs_dim)
 
         if sample_before_kernel:
             # Gather BEFORE the aliased kernel touches the ring.
@@ -490,20 +460,9 @@ def build_train_step_ring(
                 rng_rounds=rng_rounds, net_spec=agent.net_spec))
 
         # Scalars live at the same slot as this tick's input observation.
-        if k == 1:
-            a_ring = jax.lax.dynamic_update_slice(
-                a_ring, actions_t[0], (read_slot,))
-            r_ring = jax.lax.dynamic_update_slice(
-                r_ring, rewards_t[0], (read_slot,))
-            d_ring = jax.lax.dynamic_update_slice(
-                d_ring, dones_t[0].astype(jnp.int8), (read_slot,))
-        else:
-            a_ring = jax.lax.dynamic_update_slice(
-                a_ring, actions_t[:k], (0, read_slot))
-            r_ring = jax.lax.dynamic_update_slice(
-                r_ring, rewards_t[:k], (0, read_slot))
-            d_ring = jax.lax.dynamic_update_slice(
-                d_ring, dones_t[:k].astype(jnp.int8), (0, read_slot))
+        a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(
+            a_ring, r_ring, d_ring, actions_t, rewards_t, dones_t,
+            read_slot, k)
 
         if not sample_before_kernel:
             # Complete tuples after tick t: steps [max(0, t+2-nb), t] —
@@ -666,10 +625,22 @@ def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
     ag_state = carry[-3]
     if use_ring:
         (_tstate, ring) = carry[1]
+        num_envs = _tstate.ground.shape[1]  # feature-major: (cells, E)
+        steps_done = int(carry[-1])
+        if not steps_done:
+            return
+        # Histogram only slots actually written: obs slot 0 is seeded
+        # pre-run and each tick fills one num_envs-column slot (scalars
+        # at the read slot) — a short first chunk must not count the
+        # ring's zero-initialized remainder as observations/action 0.
+        valid_obs = min(ring.shape[1], (steps_done + 1) * num_envs)
         # collect_drones > 1 stacks per-drone row groups; probe drone 0
-        obs = ring[:agent.obs_dim, :min(probe, ring.shape[1])].T.astype(
+        obs = ring[:agent.obs_dim, :min(probe, valid_obs)].T.astype(
             jnp.float32)
         actions = carry[2][0]
+        if actions.ndim == 2:  # (k, capacity) scalar rings: drone 0 row
+            actions = actions[0]
+        actions = actions[:min(actions.shape[0], steps_done * num_envs)]
     elif use_fused:
         bstate = carry[-2]
         size = int(bstate.size)
@@ -821,7 +792,9 @@ def train(args, metrics_logger=None) -> dict:
         # Dense nets run the actor in-kernel; conv nets keep the fused env
         # kernel with the conv actor in XLA (same composition as the
         # single-chip path). Ring gating mirrors the single-chip rule:
-        # dense actor, one collected drone, per-shard ring ≤ 4 env-batches.
+        # in-kernel actor (dense natively, conv via the im2col lowering),
+        # per-shard batch divisible by collect_drones, per-shard ring
+        # ≤ 4 env-batches × collect_drones.
         use_sharded_fused = (
             args.engine == "fused"
             or (args.engine == "auto" and fused_engine_supported(
@@ -880,6 +853,10 @@ def train(args, metrics_logger=None) -> dict:
         # Sharded carries hold per-shard buffer layouts; the probe-based
         # q/action histograms only read the single-chip layouts.
         hist_ctx = None
+        # For the --inspect_memory epilogue: the sharded fused engine
+        # stores feature-major (slots last), jnp row-major; the ring
+        # engine keeps no ReplayState and is handled there by type.
+        use_fused = sharded_engine == "fused"
     else:
         # Round capacity up to the per-step push size so replay writes hit
         # the contiguous fast path (see replay.push_many).

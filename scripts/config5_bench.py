@@ -22,15 +22,14 @@ Appends rows to scripts/config5_results.json; row goes into PERF.md.
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import _timing
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env.types import EnvParams
 from dronerl_tpu.train import (
@@ -59,20 +58,8 @@ def measure(num_envs: int, grid_size: int, n_drones: int, collect: int,
         return jax.lax.scan(tick, carry, dummy)
 
     dummy = jnp.zeros((steps,))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        carry, (rewards, *_aux) = run(carry, dummy)
-    float(rewards.sum())
-    warm_s = time.perf_counter() - t0
-
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(calls):
-            carry, (rewards, *_aux) = run(carry, dummy)
-        float(rewards.sum())
-        times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
+    med, warm_s, times = _timing.timed_median(run, carry, dummy, repeats,
+                                              calls)
     # obs/s counts one observation per env-step per collected drone,
     # matching the reference metric (train_jax.py:234-236 counts
     # num_envs * steps with its single collected drone).
@@ -104,13 +91,7 @@ def main():
         row = measure(args.envs, 16, 8, collect, args.steps, args.repeats,
                       args.calls)
         print(json.dumps(row), flush=True)
-        # Save per point — a backend flap mid-run must not lose data.
-        existing = []
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-        with open(path, "w") as f:
-            json.dump(existing + [row], f, indent=1)
+        _timing.append_row(path, row)
     print(f"wrote {path}", flush=True)
 
 

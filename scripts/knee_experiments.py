@@ -26,12 +26,16 @@ Frozen record: scripts/knee_results.json; conclusion in PERF.md.
 import argparse
 import json
 import os
-import statistics
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: dronerl_tpu
+sys.path.insert(0, _HERE)                   # scripts dir: _timing
+
+import _timing
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env.types import EnvParams
 from dronerl_tpu.train import (
@@ -54,6 +58,11 @@ def measure(num_envs: int, window_radius: int, steps: int, repeats: int,
     old_block = fused_tick._FULL_KERNEL_MAX_BLOCK
     if max_block is not None:
         fused_tick._FULL_KERNEL_MAX_BLOCK = max_block
+    # full_tick_fused_ring is module-level-jitted; a same-shape point
+    # (the H3 131k/radius-3 row differs from the baseline ONLY in
+    # max_block, which is not a jit key) would silently reuse the cached
+    # 512-lane trace. Drop all traces so _block_for re-runs per point.
+    jax.clear_caches()
     try:
         tick = build_train_step_ring(
             agent, env_params, num_envs, capacity, batch_size=8,
@@ -66,22 +75,10 @@ def measure(num_envs: int, window_radius: int, steps: int, repeats: int,
             return jax.lax.scan(tick, carry, dummy)
 
         dummy = jnp.zeros((steps,))
-        t0 = time.perf_counter()
-        for _ in range(2):
-            carry, (rewards, *_aux) = run(carry, dummy)
-        float(rewards.sum())
-        warm_s = time.perf_counter() - t0
-
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            for _ in range(calls):
-                carry, (rewards, *_aux) = run(carry, dummy)
-            float(rewards.sum())
-            times.append(time.perf_counter() - t0)
+        med, warm_s, times = _timing.timed_median(run, carry, dummy,
+                                                  repeats, calls)
     finally:
         fused_tick._FULL_KERNEL_MAX_BLOCK = old_block
-    med = statistics.median(times)
     ring_mb = agent.obs_dim * capacity * 2 / 2**20
     return {
         "num_envs": num_envs, "window_radius": window_radius,
@@ -123,13 +120,7 @@ def main():
         row = measure(envs, radius, args.steps, args.repeats, args.calls,
                       max_block=block)
         print(json.dumps(row), flush=True)
-        # Save per point — a backend flap mid-grid must not lose data.
-        existing = []
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-        with open(path, "w") as f:
-            json.dump(existing + [row], f, indent=1)
+        _timing.append_row(path, row)
     print(f"wrote {path}", flush=True)
 
 

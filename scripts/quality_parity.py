@@ -169,7 +169,9 @@ def main() -> None:
             "(jax_impl/env/env.py:275-277 raises; train_torch.py:41 "
             "hardcodes WindowedGridView). Repo-only learning datapoint; "
             "compare against this file's own random_reward_mean.")
-    if args.conv_matmul:
+    if args.conv_matmul and args.wrapper != "global":
+        # (global keeps its "no reference" note above — the frozen conv
+        # band was measured on window obs and is not a global baseline)
         results["config"]["reference"] = (
             "frozen reference conv band in quality_parity_results_conv.json"
             " — the lowering changes only float summation order, so the "

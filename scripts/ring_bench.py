@@ -14,15 +14,14 @@ Run on the chip, e.g.:
 import argparse
 import json
 import os
-import statistics
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import _timing
 from dronerl_tpu.agents.dqn import DQN, DQNConfig
 from dronerl_tpu.env.types import EnvParams
 from dronerl_tpu.train import (
@@ -55,20 +54,8 @@ def measure(args, num_envs: int) -> dict:
         return jax.lax.scan(tick, carry, dummy)
 
     dummy = jnp.zeros((args.steps,))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        carry, (rewards, *_aux) = run(carry, dummy)
-    float(rewards.sum())
-    warm_s = time.perf_counter() - t0
-
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        for _ in range(args.calls):
-            carry, (rewards, *_aux) = run(carry, dummy)
-        float(rewards.sum())
-        times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
+    med, warm_s, times = _timing.timed_median(
+        run, carry, dummy, args.repeats, args.calls)
     return {
         "num_envs": num_envs,
         "network_type": args.network_type,
@@ -117,13 +104,7 @@ def main():
     for envs in args.envs:
         row = measure(args, envs)
         print(json.dumps(row), flush=True)
-        # Save per point — a backend flap mid-sweep must not lose data.
-        existing = []
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
-        with open(path, "w") as f:
-            json.dump(existing + [row], f, indent=1)
+        _timing.append_row(path, row)
     print(f"wrote {path}", flush=True)
 
 

@@ -28,8 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RECORD = os.path.join(REPO, "BENCH_PROGRAM.json")
 
 
-@pytest.mark.slow
 def test_bench_program_matches_warmed_cache():
+    # Deliberately in the FAST lane (runs in ~6 s on CPU): this guard
+    # exists to catch cache-invalidating drift before a commit, and the
+    # fast lane is what developers actually run (round-2 incident).
     import bench
 
     assert os.path.exists(RECORD), (
