@@ -242,6 +242,50 @@ def test_per_chunk_metrics_logged(tmp_path):
             assert (values != 0.0).all()  # warm-up ticks masked out
 
 
+def test_ring_histograms_mask_unwritten_slots(tmp_path):
+    """The ring-engine histogram probe must only read slots the kernel
+    has actually written (obs slot 0 is seeded pre-run; scalars land at
+    the read slot), and with collect_drones>1 it probes drone 0's row —
+    not all k rows — as its docstring promises."""
+    import jax
+    import jax.numpy as jnp
+
+    from dronerl_tpu.agents.dqn import DQN
+
+    args = make_args(tmp_path)
+    agent = DQN(
+        train_mod.agent_config_from_args(args),
+        train_mod.env_params_from_args(args))
+    env_params = train_mod.env_params_from_args(args)
+    num_envs, capacity, k = 8, 32, 2
+    carry = train_mod.init_ring_carry(
+        agent, env_params, num_envs, capacity, jax.random.PRNGKey(0),
+        collect_drones=k)
+    rng, (tstate, ring), (a, r, d), ag_state, u, _step = carry
+    # Distinguishable scalar rings: drone 0 all action 1, drone 1 all 2.
+    a = a.at[0].set(1).at[1].set(2)
+
+    # steps_done = 0: nothing written yet — no q/action histograms.
+    probe = ProbeLogger()
+    zero_carry = (rng, (tstate, ring), (a, r, d), ag_state, u, jnp.array(0))
+    train_mod.log_chunk_histograms(
+        probe, agent, zero_carry, jnp.zeros((4,)), use_ring=True,
+        use_fused=False, step=0)
+    assert not {t for t, _, _ in probe.histograms} & {
+        "q_values", "replay_actions"}
+
+    # steps_done = 2: 2 scalar slots (16 entries) and 3 obs slots valid.
+    probe = ProbeLogger()
+    two_carry = (rng, (tstate, ring), (a, r, d), ag_state, u, jnp.array(2))
+    train_mod.log_chunk_histograms(
+        probe, agent, two_carry, jnp.zeros((4,)), use_ring=True,
+        use_fused=False, step=2)
+    hists = {t: v for t, v, _ in probe.histograms}
+    assert (hists["replay_actions"] == 1).all()  # drone 0's row only
+    assert hists["replay_actions"].shape == (2 * num_envs,)
+    assert hists["q_values"].shape[0] <= 3 * num_envs
+
+
 def test_eval_returns_reasonable_stats(tmp_path):
     args = make_args(tmp_path, skip_final_eval=True)
     from dronerl_tpu.agents.dqn import DQN
