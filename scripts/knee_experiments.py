@@ -102,19 +102,70 @@ POINTS = [
 ]
 
 
+def analyze(path: str) -> None:
+    """Turn the measured grid into per-hypothesis verdicts."""
+    with open(path) as f:
+        rows = json.load(f)
+
+    def find(envs, radius, block):
+        for r in rows:
+            if (r["num_envs"] == envs and r["window_radius"] == radius
+                    and r["max_block"] == block):
+                return r
+        return None
+
+    base = find(65536, 3, 512)
+    knee = find(131072, 3, 512)
+    if not (base and knee):
+        print("analyze: baseline/knee points missing — run the grid first")
+        return
+    ratio = knee["obs_per_sec"] / base["obs_per_sec"]
+    print(f"knee at 131k/radius-3: {ratio:.3f}x of 65k "
+          f"({knee['obs_per_sec']:.3g} vs {base['obs_per_sec']:.3g} obs/s)")
+
+    r2_base, r2_knee, r2_double = (find(65536, 2, 512),
+                                   find(131072, 2, 512),
+                                   find(262144, 2, 512))
+    if r2_base and r2_knee:
+        r2_ratio = r2_knee["obs_per_sec"] / r2_base["obs_per_sec"]
+        print(f"H1 (env-count-driven): 131k/radius-2 is {r2_ratio:.3f}x of "
+              f"65k/radius-2 — {'SUPPORTED' if r2_ratio < 0.95 else 'REFUTED'}"
+              f" (knee {'re' if r2_ratio < 0.95 else 'not re'}produced at "
+              f"halved ring bytes)")
+        if r2_double:
+            d_ratio = r2_double["obs_per_sec"] / r2_knee["obs_per_sec"]
+            print(f"H2 (ring-bytes-driven): 262k/radius-2 "
+                  f"({r2_double['ring_mb']} MB ring) is {d_ratio:.3f}x of "
+                  f"131k/radius-2 ({r2_knee['ring_mb']} MB) — "
+                  f"{'SUPPORTED' if r2_ratio >= 0.95 and d_ratio < 0.95 else 'REFUTED/MIXED'}")
+    h3 = find(131072, 3, 1024)
+    if h3:
+        h3_ratio = h3["obs_per_sec"] / knee["obs_per_sec"]
+        print(f"H3 (grid-length-driven): 1024-lane blocks at 131k give "
+              f"{h3_ratio:.3f}x of the 512-lane knee point — "
+              f"{'SUPPORTED (and the fix)' if h3_ratio > 1.05 else 'REFUTED'}")
+
+
 def main():
-    setup_compilation_cache("/root/repo/jax_cache")
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--repeats", type=int, default=6)
     p.add_argument("--calls", type=int, default=4)
     p.add_argument("--points", type=int, nargs="+", default=None,
                    help="indices into POINTS (default: all)")
+    p.add_argument("--analyze", action="store_true",
+                   help="print hypothesis verdicts from the frozen record "
+                        "instead of measuring")
     args = p.parse_args()
 
-    idxs = args.points if args.points is not None else range(len(POINTS))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "knee_results.json")
+    if args.analyze:
+        analyze(path)
+        return
+    setup_compilation_cache("/root/repo/jax_cache")
+
+    idxs = args.points if args.points is not None else range(len(POINTS))
     for i in idxs:
         envs, radius, block = POINTS[i]
         row = measure(envs, radius, args.steps, args.repeats, args.calls,
