@@ -99,6 +99,9 @@ POINTS = [
     (131072, 2, None),   # H2: knee should vanish if bytes-driven (79 MB)
     (262144, 2, None),   # H2: knee should reappear (158 MB)
     (131072, 3, 1024),   # H3: halve the Mosaic grid length
+    (65536, 3, 1024),    # H3 control + headline probe: if bigger blocks
+                         # win at 131k they may also beat the 512-lane
+                         # flagship bench point
 ]
 
 
@@ -144,6 +147,13 @@ def analyze(path: str) -> None:
         print(f"H3 (grid-length-driven): 1024-lane blocks at 131k give "
               f"{h3_ratio:.3f}x of the 512-lane knee point — "
               f"{'SUPPORTED (and the fix)' if h3_ratio > 1.05 else 'REFUTED'}")
+    h3c = find(65536, 3, 1024)
+    if h3c:
+        c_ratio = h3c["obs_per_sec"] / base["obs_per_sec"]
+        print(f"headline probe: 1024-lane blocks at the 65k flagship give "
+              f"{c_ratio:.3f}x of the shipped 512-lane config"
+              + (" — consider raising _FULL_KERNEL_MAX_BLOCK"
+                 if c_ratio > 1.02 else ""))
 
 
 def main():
