@@ -113,7 +113,41 @@ def program_hash() -> str:
     return hashlib.sha256(str(jaxpr).encode()).hexdigest()
 
 
+def _probe_backend(timeout_s: int = 240) -> str:
+    """Bounded backend-reachability check in a subprocess.
+
+    ``jax.devices()`` blocks indefinitely in native code when the
+    tunneled TPU backend is down (observed: multi-hour outages), and a
+    hung benchmark is a worse official record than an explicit error.
+    The probe pays one interpreter startup (~10-20 s with the plugin);
+    returns an empty string when reachable, else the failure reason.
+    """
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d[0].platform != 'cpu', d; print(d[0].device_kind)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s}s"
+    if proc.returncode != 0:
+        lines = (proc.stderr or proc.stdout).strip().splitlines()
+        return lines[-1] if lines else "backend probe failed"
+    return ""
+
+
 def main():
+    if os.environ.get("DRONERL_BENCH_SKIP_PROBE") != "1":
+        _stage("probing backend reachability")
+        err = _probe_backend()
+        if err:
+            print(json.dumps({
+                "metric": "train_obs_per_sec_dense16_65536envs",
+                "value": 0.0, "unit": "obs/s", "vs_baseline": 0.0,
+                "error": f"TPU backend unreachable: {err}",
+            }))
+            sys.exit(1)
     setup_compilation_cache(CACHE_DIR)
     _stage("building program")
     run, make_carry, dummy = build()
