@@ -17,8 +17,16 @@ SWEEP_CONFIG = {
     "method": "bayes",
     "metric": {"goal": "maximize", "name": "eval_reward"},
     "parameters": {
-        "network_type": {"values": ["dense", "conv"]},
-        "hidden_layers": {"values": [[16, 16], [64, 32], [128, 64]]},
+        # Topology is one joint parameter so the bayes optimizer never
+        # explores a dead dimension (hidden_layers has no effect on conv
+        # nets; the reference likewise fixes topology per network type,
+        # reference: run_jax_sweep.py:17-26). "dense:<widths>" sets
+        # --hidden_layers; "conv[:<head widths>]" sets the CLI-default
+        # conv stack with an optional --conv_dense_layers head.
+        "topology": {"values": [
+            "dense:16,16", "dense:64,32", "dense:128,64",
+            "conv", "conv:32",
+        ]},
         "num_envs": {"values": [1, 8, 64, 512]},
         "epsilon_end": {"values": [0.01, 0.05, 0.1]},
         "batch_size": {"values": [8, 32, 128]},
@@ -34,15 +42,19 @@ def run_trial(num_steps: int):
 
     run = wandb.init()
     cfg = wandb.config
+    net, _, spec = cfg.topology.partition(":")
     argv = [
         "--num_steps", str(num_steps),
-        "--network_type", cfg.network_type,
-        "--hidden_layers", *[str(h) for h in cfg.hidden_layers],
+        "--network_type", net,
         "--num_envs", str(cfg.num_envs),
         "--epsilon_end", str(cfg.epsilon_end),
         "--batch_size", str(cfg.batch_size),
         "--learning_rate", str(cfg.learning_rate),
     ]
+    if net == "dense":
+        argv += ["--hidden_layers", *spec.split(",")]
+    elif spec:
+        argv += ["--conv_dense_layers", *spec.split(",")]
     import jax
 
     if cfg.num_envs > 1 and cfg.num_envs % jax.device_count() == 0 \

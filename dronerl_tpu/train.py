@@ -59,6 +59,16 @@ def env_params_from_args(args, eval_mode: bool = False) -> EnvParams:
     if eval_mode:
         n_drones = args.eval_n_drones or n_drones
         grid_size = args.eval_grid_size or grid_size
+        if args.wrapper == "global" and grid_size != args.grid_size:
+            # The window wrapper's obs_dim is grid-independent, so a
+            # different eval arena is fine; the global wrapper's obs_dim
+            # IS the grid — a trained Q-net cannot consume it. Fail here
+            # (before training starts) rather than at final-eval trace.
+            raise ValueError(
+                f"--eval_grid_size {grid_size} != --grid_size "
+                f"{args.grid_size} is impossible with --wrapper global: "
+                "the full-grid observation's dimensionality is the grid, "
+                "so the trained network cannot evaluate on another size")
     return EnvParams(
         n_drones=n_drones,
         grid_size=grid_size,
@@ -97,6 +107,7 @@ def agent_config_from_args(args) -> DQNConfig:
         epsilon_decay_every=args.epsilon_decay_every,
         gamma=args.gamma,
         learning_rate=args.learning_rate,
+        tau=args.tau,
     )
 
 
@@ -660,6 +671,9 @@ def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
     metrics_logger.log_histogram("replay_actions", actions, step)
 
 
+_EVAL_FN_CACHE: dict = {}
+
+
 def evaluate(
     args,
     agent: DQN,
@@ -675,27 +689,41 @@ def evaluate(
     num_seeds = args.num_evals
     seeds = jnp.arange(num_seeds, dtype=jnp.uint32) + args.eval_seed
     reset_keys = jax.vmap(jax.random.PRNGKey)(seeds)
-    obs_dim = agent.obs_dim
 
-    def episode_rewards(reset_key):
-        state = env_core.reset(reset_key, env_params)
+    # One jitted program per (agent config, eval arena, episode length):
+    # --eval_while_training calls this every chunk, and rebuilding the
+    # closure each time would defeat the in-memory jit cache (a fresh
+    # function identity re-traces the full num_eval_steps scan). The
+    # mutable agent state is a traced ARGUMENT, not a closure capture.
+    cache_key = (agent.config, env_params, args.num_eval_steps,
+                 agent.obs_dim)
+    run_episodes = _EVAL_FN_CACHE.get(cache_key)
+    if run_episodes is None:
+        obs_dim = agent.obs_dim
 
-        def tick(carry, _):
-            rng, st = carry
-            rng, act_key, step_key = jax.random.split(rng, 3)
-            actions = jax.random.randint(
-                act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
-            obs = env_core.observe(st, env_params, 1).reshape(1, obs_dim)
-            greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
-            actions = actions.at[0].set(greedy)
-            st, rewards, _ = env_core.step(step_key, st, actions, env_params)
-            return (rng, st), rewards
+        def episode_rewards(reset_key, ag_state):
+            state = env_core.reset(reset_key, env_params)
 
-        (_, _), rewards = jax.lax.scan(
-            tick, (reset_key, state), length=args.num_eval_steps)
-        return rewards  # (steps, N)
+            def tick(carry, _):
+                rng, st = carry
+                rng, act_key, step_key = jax.random.split(rng, 3)
+                actions = jax.random.randint(
+                    act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
+                obs = env_core.observe(st, env_params, 1).reshape(1, obs_dim)
+                greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
+                actions = actions.at[0].set(greedy)
+                st, rewards, _ = env_core.step(
+                    step_key, st, actions, env_params)
+                return (rng, st), rewards
 
-    rewards = jax.jit(jax.vmap(episode_rewards))(reset_keys)
+            (_, _), rewards = jax.lax.scan(
+                tick, (reset_key, state), length=args.num_eval_steps)
+            return rewards  # (steps, N)
+
+        run_episodes = jax.jit(jax.vmap(episode_rewards, in_axes=(0, None)))
+        _EVAL_FN_CACHE[cache_key] = run_episodes
+
+    rewards = run_episodes(reset_keys, ag_state)
     per_seed_agent = np.asarray(jnp.mean(rewards[:, :, 0], axis=1))
     if env_params.n_drones > 1:
         per_seed_random = np.asarray(jnp.mean(rewards[:, :, 1], axis=1))
@@ -719,6 +747,10 @@ def train(args, metrics_logger=None) -> dict:
         )
     setup_compilation_cache(args.jax_cache_dir)
     env_params = env_params_from_args(args)
+    if args.eval_while_training or not args.skip_final_eval:
+        # Validate the eval-arena combination upfront (e.g. global
+        # wrapper + --eval_grid_size) instead of after training ends.
+        env_params_from_args(args, eval_mode=True)
     agent_config = agent_config_from_args(args)
 
     # Weights-only warm start: the network topology comes from the

@@ -100,9 +100,14 @@ def test_sweep_config_surface():
 
     params = sweep.SWEEP_CONFIG["parameters"]
     assert sweep.SWEEP_CONFIG["method"] == "bayes"
-    for key in ("network_type", "num_envs", "learning_rate",
+    for key in ("topology", "num_envs", "learning_rate",
                 "epsilon_end", "batch_size"):
         assert key in params
+    # Topology is joint (network type + matching layer widths) so the
+    # bayes search never varies a dimension the chosen net ignores.
+    topos = params["topology"]["values"]
+    assert any(t.startswith("dense:") for t in topos)
+    assert any(t.startswith("conv") for t in topos)
 
 
 def test_benchmark_single_config_runs():

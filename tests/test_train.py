@@ -242,6 +242,24 @@ def test_per_chunk_metrics_logged(tmp_path):
             assert (values != 0.0).all()  # warm-up ticks masked out
 
 
+def test_tau_reaches_agent_config():
+    """--tau must feed optax.incremental_update's interpolation (the
+    reference trainer wires it: train_jax.py:149); it was once parsed
+    but silently dropped."""
+    args = train_mod.parse_args(["--tau", "0.25"])
+    assert train_mod.agent_config_from_args(args).tau == 0.25
+
+
+def test_eval_grid_size_rejected_for_global_wrapper():
+    """A different eval arena is impossible with full-grid observations
+    (obs_dim IS the grid); must fail at parse/validation time, not after
+    training completes."""
+    args = train_mod.parse_args(
+        ["--wrapper", "global", "--eval_grid_size", "12"])
+    with pytest.raises(ValueError, match="global"):
+        train_mod.env_params_from_args(args, eval_mode=True)
+
+
 def test_ring_histograms_mask_unwritten_slots(tmp_path):
     """The ring-engine histogram probe must only read slots the kernel
     has actually written (obs slot 0 is seeded pre-run; scalars land at
