@@ -69,7 +69,7 @@ def env_params_from_args(args, eval_mode: bool = False) -> EnvParams:
                 f"{args.grid_size} is impossible with --wrapper global: "
                 "the full-grid observation's dimensionality is the grid, "
                 "so the trained network cannot evaluate on another size")
-    return EnvParams(
+    params = EnvParams(
         n_drones=n_drones,
         grid_size=grid_size,
         window_radius=args.window_radius,
@@ -83,6 +83,13 @@ def env_params_from_args(args, eval_mode: bool = False) -> EnvParams:
         skyscrapers_factor=args.skyscrapers_factor,
         wrapper=args.wrapper,
     )
+    if eval_mode:
+        # The train-mode params hit reset()/validate() immediately; the
+        # eval arena otherwise only materializes AFTER training — an
+        # overfull --eval_grid_size/--eval_n_drones combination must not
+        # cost a completed run (train() calls this upfront).
+        params.validate()
+    return params
 
 
 def agent_config_from_args(args) -> DQNConfig:
@@ -695,8 +702,15 @@ def evaluate(
     # closure each time would defeat the in-memory jit cache (a fresh
     # function identity re-traces the full num_eval_steps scan). The
     # mutable agent state is a traced ARGUMENT, not a closure capture.
-    cache_key = (agent.config, env_params, args.num_eval_steps,
-                 agent.obs_dim)
+    # Key on what the greedy-eval program actually depends on: network
+    # topology + arena + episode length. Learner hyper-parameters
+    # (learning_rate, gamma, ε schedule, tau, ...) never enter the
+    # greedy forward pass — keying on the full config would make sweep
+    # trials re-trace an identical 10k-step program per trial.
+    cfg = agent.config
+    cache_key = (cfg.network_type, cfg.hidden_layers, cfg.conv_layers,
+                 cfg.conv_dense_layers, cfg.conv_matmul, agent.obs_dim,
+                 env_params, args.num_eval_steps)
     run_episodes = _EVAL_FN_CACHE.get(cache_key)
     if run_episodes is None:
         obs_dim = agent.obs_dim

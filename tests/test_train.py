@@ -258,6 +258,11 @@ def test_eval_grid_size_rejected_for_global_wrapper():
         ["--wrapper", "global", "--eval_grid_size", "12"])
     with pytest.raises(ValueError, match="global"):
         train_mod.env_params_from_args(args, eval_mode=True)
+    # An overfull eval arena (40 default objects on 9 cells) must also
+    # fail at validation time, not after training completes.
+    args = train_mod.parse_args(["--eval_grid_size", "3"])
+    with pytest.raises(ValueError, match="cells"):
+        train_mod.env_params_from_args(args, eval_mode=True)
 
 
 def test_ring_histograms_mask_unwritten_slots(tmp_path):
