@@ -113,7 +113,7 @@ def program_hash() -> str:
     return hashlib.sha256(str(jaxpr).encode()).hexdigest()
 
 
-def _probe_backend(timeout_s: int = 240) -> str:
+def _probe_backend(timeout_s: int = 420) -> str:
     """Bounded backend-reachability check in a subprocess.
 
     ``jax.devices()`` blocks indefinitely in native code when the
@@ -121,6 +121,10 @@ def _probe_backend(timeout_s: int = 240) -> str:
     hung benchmark is a worse official record than an explicit error.
     The probe pays one interpreter startup (~10-20 s with the plugin);
     returns an empty string when reachable, else the failure reason.
+    The bound is generous (7 min) because a recovering backend's first
+    device grant can take minutes — a false "unreachable" verdict would
+    turn a healthy run into an official zero, which is far worse than a
+    slow exit when the backend is genuinely down.
     """
     import subprocess
     try:
