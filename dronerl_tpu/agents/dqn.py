@@ -374,7 +374,23 @@ class DQN:
             return jnp.mean(jnp.square(taken - jax.lax.stop_gradient(target)))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grads = jax.lax.pmean(grads, axis_name)
+        # Under shard_map's vma typing (check_vma=True), differentiating
+        # REPLICATED params against VARYING batch data already inserts
+        # the gradient all-reduce (a psum per leaf, inside the flax
+        # backward): grads arrive invariant, holding the SUM of
+        # per-shard means. A further pmean would be numerically a no-op
+        # (×axis_size then ÷axis_size) but XLA still executes it as a
+        # second, redundant collective round per step — measured as a
+        # doubled all-reduce set in the lowered chunk
+        # (tests/test_distributed.py::test_chunk_collective_pattern).
+        # With typing off (check_vma=False), autodiff inserts nothing
+        # and the explicit pmean IS the gradient all-reduce.
+        batch_vma = getattr(jax.typeof(batch["obs"]), "vma", frozenset())
+        if axis_name in batch_vma:
+            n = jax.lax.axis_size(axis_name)
+            grads = jax.tree.map(lambda g: g / n, grads)
+        else:
+            grads = jax.lax.pmean(grads, axis_name)
         loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)

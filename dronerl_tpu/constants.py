@@ -39,3 +39,10 @@ NUM_ACTIONS: int = Action.num_actions()
 #   2: dropzone, 3: charging station, 4: charge level in [0, 1],
 #   5: skyscraper / out-of-board wall.
 NUM_OBS_CHANNELS: int = 6
+
+# Loss emitted by warm-up (no-train) scan ticks across every engine
+# (train.py, parallel/distributed.py). The TD loss is an MSE — never
+# negative — so a negative sentinel is unambiguous, unlike a 0.0
+# sentinel which would also drop a genuine zero loss. Readers mask with
+# ``losses >= 0.0``.
+NO_TRAIN_LOSS: float = -1.0

@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN
-from dronerl_tpu.constants import NUM_ACTIONS
+from dronerl_tpu.constants import NO_TRAIN_LOSS, NUM_ACTIONS
 from dronerl_tpu.env import core as env_core
 from dronerl_tpu.env.types import EnvParams
 
@@ -361,7 +361,7 @@ class DistributedTrainer:
                 return agent.train_step_t(ag, b, axis_name=axis)
 
             def no_train(operand):
-                zero = jax.lax.pmean(0.0, axis)
+                zero = jax.lax.pmean(NO_TRAIN_LOSS, axis)
                 return operand[0], zero
 
             ag_state, loss = jax.lax.cond(
@@ -434,7 +434,7 @@ class DistributedTrainer:
                 return agent.train_step_t(op[0], op[1], axis_name=axis)
 
             def no_train(op):
-                return op[0], jax.lax.pmean(0.0, axis)
+                return op[0], jax.lax.pmean(NO_TRAIN_LOSS, axis)
 
             ag_state, loss = jax.lax.cond(
                 valid >= batch_size // k, do_train, no_train,
@@ -523,7 +523,7 @@ class DistributedTrainer:
                 return agent.train_step_distributed(ag, batch, axis)
 
             def no_train(operand):
-                zero = jax.lax.pmean(0.0, axis)
+                zero = jax.lax.pmean(NO_TRAIN_LOSS, axis)
                 return operand[0], zero
 
             ag_state, loss = jax.lax.cond(

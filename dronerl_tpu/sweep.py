@@ -31,6 +31,16 @@ SWEEP_CONFIG = {
         "epsilon_end": {"values": [0.01, 0.05, 0.1]},
         "batch_size": {"values": [8, 32, 128]},
         "learning_rate": {"values": [1e-2, 1e-3, 1e-4]},
+        # Learner schedule + env shaping, matching the reference torch
+        # sweep's space (reference: torch_impl/sweep.py:96-127: gamma,
+        # target_update_interval, epsilon_decay, memory_size, n_drones,
+        # pickup_reward; topology covers its size/num_layers).
+        "gamma": {"values": [0.9, 0.95, 0.99, 0.995]},
+        "target_update_interval": {"values": [1, 10, 100]},
+        "epsilon_decay_every": {"values": [1, 5, 25]},
+        "memory_size": {"values": [1_000, 10_000, 100_000]},
+        "n_drones": {"values": [2, 4, 8]},
+        "pickup_reward": {"values": [0.0, 0.1, 0.5, 1.0]},
     },
 }
 
@@ -50,6 +60,12 @@ def run_trial(num_steps: int):
         "--epsilon_end", str(cfg.epsilon_end),
         "--batch_size", str(cfg.batch_size),
         "--learning_rate", str(cfg.learning_rate),
+        "--gamma", str(cfg.gamma),
+        "--target_update_interval", str(cfg.target_update_interval),
+        "--epsilon_decay_every", str(cfg.epsilon_decay_every),
+        "--memory_size", str(cfg.memory_size),
+        "--n_drones", str(cfg.n_drones),
+        "--pickup_reward", str(cfg.pickup_reward),
     ]
     if net == "dense":
         argv += ["--hidden_layers", *spec.split(",")]

@@ -37,7 +37,7 @@ import numpy as np
 
 from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN, DQNConfig, DQNState
-from dronerl_tpu.constants import NUM_ACTIONS
+from dronerl_tpu.constants import NO_TRAIN_LOSS, NUM_ACTIONS
 from dronerl_tpu.env import core as env_core
 from dronerl_tpu.env.types import EnvParams
 
@@ -179,7 +179,7 @@ def build_train_step(
         ag_state, loss = jax.lax.cond(
             buffer.can_sample(bstate),
             do_train,
-            lambda operand: (operand[0], 0.0),
+            lambda operand: (operand[0], NO_TRAIN_LOSS),
             (ag_state, bstate, sample_key),
         )
 
@@ -284,7 +284,7 @@ def build_train_step_fused(
         ag_state, loss = jax.lax.cond(
             buffer.can_sample(bstate),
             do_train,
-            lambda operand: (operand[0], 0.0),
+            lambda operand: (operand[0], NO_TRAIN_LOSS),
             (ag_state, bstate, sample_key),
         )
 
@@ -372,7 +372,7 @@ def build_train_step_full(
         ag_state, loss = jax.lax.cond(
             buffer.can_sample(bstate),
             do_train,
-            lambda operand: (operand[0], 0.0),
+            lambda operand: (operand[0], NO_TRAIN_LOSS),
             (ag_state, batch),
         )
         ag_state = jax.lax.cond(
@@ -493,7 +493,7 @@ def build_train_step_ring(
         ag_state, loss = jax.lax.cond(
             valid >= batch_size // k,
             lambda op: agent.train_step_t(op[0], op[1]),
-            lambda op: (op[0], 0.0),
+            lambda op: (op[0], NO_TRAIN_LOSS),
             (ag_state, batch),
         )
         ag_state = jax.lax.cond(
@@ -636,7 +636,7 @@ def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
     column (what the reference's ``inspect_memory`` plots).
     """
     losses = jnp.ravel(losses)
-    trained = losses[losses != 0.0]  # drop warm-up no-train ticks
+    trained = losses[losses >= 0.0]  # drop warm-up no-train ticks
     if trained.size:
         metrics_logger.log_histogram("td_loss", trained, step)
 
@@ -679,6 +679,38 @@ def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
 
 
 _EVAL_FN_CACHE: dict = {}
+_EVAL_FN_CACHE_MAX = 16  # FIFO bound; sweeps cycle few distinct programs
+
+# DQNConfig fields that can NEVER enter the greedy forward pass — the
+# learner schedule. Everything else (current and future fields) is part
+# of the eval-program cache key via _eval_forward_key.
+_LEARNER_ONLY_FIELDS = {
+    "gamma": 0.0,
+    "epsilon_start": 0.0,
+    "epsilon_decay": 0.0,
+    "epsilon_end": 0.0,
+    "epsilon_decay_every": None,
+    "learning_rate": 0.0,
+    "target_update_interval": 1,
+    "tau": 1.0,
+}
+
+
+def _eval_forward_key(cfg: DQNConfig) -> DQNConfig:
+    """Normalize learner-only hypers so configs that share a forward
+    pass hash identically; unknown (future) fields flow through into the
+    key, failing safe toward a re-trace instead of a stale program."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, **_LEARNER_ONLY_FIELDS)
+
+
+def _eval_tick_keys(rng):
+    """Four independent streams per eval tick: carry, opponents' random
+    actions, the agent's act call, and the env step. The opponents and
+    the agent must never share a key — today's greedy path ignores its
+    key, but an ε-eval would silently correlate the two streams."""
+    return jax.random.split(rng, 4)
 
 
 def evaluate(
@@ -702,14 +734,12 @@ def evaluate(
     # closure each time would defeat the in-memory jit cache (a fresh
     # function identity re-traces the full num_eval_steps scan). The
     # mutable agent state is a traced ARGUMENT, not a closure capture.
-    # Key on what the greedy-eval program actually depends on: network
-    # topology + arena + episode length. Learner hyper-parameters
-    # (learning_rate, gamma, ε schedule, tau, ...) never enter the
-    # greedy forward pass — keying on the full config would make sweep
-    # trials re-trace an identical 10k-step program per trial.
-    cfg = agent.config
-    cache_key = (cfg.network_type, cfg.hidden_layers, cfg.conv_layers,
-                 cfg.conv_dense_layers, cfg.conv_matmul, agent.obs_dim,
+    # Key on the FULL config normalized through _eval_forward_key (every
+    # field except an explicit learner-only denylist), so a future
+    # forward-affecting DQNConfig field is picked up automatically —
+    # while sweep trials that differ only in learner hypers still share
+    # one traced 10k-step program.
+    cache_key = (_eval_forward_key(agent.config), agent.obs_dim,
                  env_params, args.num_eval_steps)
     run_episodes = _EVAL_FN_CACHE.get(cache_key)
     if run_episodes is None:
@@ -720,9 +750,9 @@ def evaluate(
 
             def tick(carry, _):
                 rng, st = carry
-                rng, act_key, step_key = jax.random.split(rng, 3)
+                rng, opp_key, act_key, step_key = _eval_tick_keys(rng)
                 actions = jax.random.randint(
-                    act_key, (env_params.n_drones,), 0, NUM_ACTIONS)
+                    opp_key, (env_params.n_drones,), 0, NUM_ACTIONS)
                 obs = env_core.observe(st, env_params, 1).reshape(1, obs_dim)
                 greedy = agent.act(act_key, obs, ag_state, greedy=True)[0]
                 actions = actions.at[0].set(greedy)
@@ -735,6 +765,8 @@ def evaluate(
             return rewards  # (steps, N)
 
         run_episodes = jax.jit(jax.vmap(episode_rewards, in_axes=(0, None)))
+        if len(_EVAL_FN_CACHE) >= _EVAL_FN_CACHE_MAX:
+            _EVAL_FN_CACHE.pop(next(iter(_EVAL_FN_CACHE)))
         _EVAL_FN_CACHE[cache_key] = run_episodes
 
     rewards = run_episodes(reset_keys, ag_state)
@@ -899,6 +931,14 @@ def train(args, metrics_logger=None) -> dict:
         # Sharded carries hold per-shard buffer layouts; the probe-based
         # q/action histograms only read the single-chip layouts.
         hist_ctx = None
+        if args.log_histograms:
+            # Mirror the ring-skip explanations: say WHY a default-on
+            # feature is silently absent instead of no-op'ing.
+            logger.info(
+                "--log_histograms: per-chunk q/action histograms read "
+                "the single-chip replay layouts and are unavailable for "
+                "sharded carries; scalar curves (reward/ε/td_loss) still "
+                "log per chunk")
         # For the --inspect_memory epilogue: the sharded fused engine
         # stores feature-major (slots last), jnp row-major; the ring
         # engine keeps no ReplayState and is handled there by type.
@@ -1066,19 +1106,23 @@ def train(args, metrics_logger=None) -> dict:
             # Per-chunk training curves (the reference logs ε + rewards
             # between chunks, reference: train_jax.py:226-227,257-266);
             # we also surface the TD loss the scan used to discard.
-            # Warm-up ticks (buffer not yet sampleable) emit a loss of
-            # exactly 0.0 from the no-train branch; averaging them in
-            # would bias the first chunk's loss toward zero. A real MSE
-            # loss is never exactly 0.0 in float32, so mask on it.
-            trained = jnp.ravel(losses) != 0.0
+            # Warm-up ticks (buffer not yet sampleable) emit
+            # NO_TRAIN_LOSS (negative; MSE is never negative), so the
+            # mask is explicit — a genuine 0.0 loss is kept, and an
+            # all-warm-up chunk skips the td_loss scalar entirely
+            # instead of logging NaN to the sink.
+            flat = jnp.ravel(losses)
+            trained = flat >= 0.0
             n_trained = int(jnp.sum(trained))
-            td_loss = (float(jnp.sum(losses) / n_trained)
-                       if n_trained else float("nan"))
-            metrics_logger.log_scalars({
+            scalars = {
                 "train_reward": float(jnp.mean(rewards)),
                 "epsilon": float(jnp.ravel(epsilons)[-1]),
-                "td_loss": td_loss,
-            }, step=(chunk + 1) * scan_steps)
+            }
+            if n_trained:
+                scalars["td_loss"] = float(
+                    jnp.sum(jnp.where(trained, flat, 0.0)) / n_trained)
+            metrics_logger.log_scalars(
+                scalars, step=(chunk + 1) * scan_steps)
             if args.log_histograms and hist_ctx is not None:
                 log_chunk_histograms(
                     metrics_logger, agent, carry, losses, *hist_ctx,

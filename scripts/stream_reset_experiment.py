@@ -154,7 +154,7 @@ def run_one(args, seed, reset_env_every, stream_semantics):
     for _ in range(2):
         carry, (_, losses) = chunk(carry, jnp.zeros((scan_steps,)))
     ag_state = carry[3]
-    trained = losses[losses != 0.0]
+    trained = losses[losses >= 0.0]  # NO_TRAIN_LOSS sentinel is negative
     td_loss = float(trained.mean()) if trained.size else float("nan")
 
     (emean, estd), (rmean, _) = train_mod.evaluate(args, agent, ag_state)

@@ -101,13 +101,26 @@ def test_sweep_config_surface():
     params = sweep.SWEEP_CONFIG["parameters"]
     assert sweep.SWEEP_CONFIG["method"] == "bayes"
     for key in ("topology", "num_envs", "learning_rate",
-                "epsilon_end", "batch_size"):
+                "epsilon_end", "batch_size",
+                # Learner schedule + env shaping — the reference torch
+                # sweep's space (reference: torch_impl/sweep.py:96-127).
+                "gamma", "target_update_interval", "epsilon_decay_every",
+                "memory_size", "n_drones", "pickup_reward"):
         assert key in params
     # Topology is joint (network type + matching layer widths) so the
     # bayes search never varies a dimension the chosen net ignores.
     topos = params["topology"]["values"]
     assert any(t.startswith("dense:") for t in topos)
     assert any(t.startswith("conv") for t in topos)
+    # Every swept parameter must be wired into the trial argv (a swept
+    # but unwired hyper silently wastes the whole bayes dimension).
+    import inspect
+
+    src = inspect.getsource(sweep.run_trial)
+    for key in params:
+        if key == "topology":
+            continue
+        assert f"cfg.{key}" in src, f"swept parameter {key} not wired"
 
 
 def test_benchmark_single_config_runs():

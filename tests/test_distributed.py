@@ -249,3 +249,90 @@ def test_ring_engine_multicollect_chunk_interpret():
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+# --- HLO collective-pattern guard (VERDICT-r3 item 5) -------------------
+
+_COLLECTIVE_KINDS = ("all_gather", "collective_permute", "all_to_all",
+                     "reduce_scatter", "collective_broadcast")
+
+
+def _all_reduce_shapes(lowered_text):
+    """Operand tensor shapes of every stablehlo.all_reduce in a lowered
+    module (the op carries a reduction region, so the type signature
+    trails the region: `}) : (tensor<...>) -> ...`)."""
+    import re
+
+    return sorted(re.findall(
+        r'"stablehlo.all_reduce"\(.*?\)\s*:\s*\(tensor<([^>]+)>\)',
+        lowered_text, re.S))
+
+
+def _grad_shape_set(agent):
+    """Gradient all-reduce shapes: each param leaf either as-is or with
+    a leading broadcast axis (vma-mode autodiff emits bias grads as
+    (1, n) out of the flax broadcast backward)."""
+    shapes = set()
+    st = agent.init_state(jax.random.PRNGKey(0))
+    for leaf in jax.tree.leaves(st.params):
+        shapes.add(tuple(leaf.shape))
+        shapes.add((1,) + tuple(leaf.shape))
+    return shapes
+
+
+def _shape_str_to_tuple(s):
+    # "294x8xf32" -> (294, 8); "f32" -> ()
+    dims = s.split("x")[:-1]
+    return tuple(int(d) for d in dims)
+
+
+@pytest.mark.parametrize("engine", ["jnp", "fused", "ring"])
+def test_chunk_collective_pattern(engine):
+    """The sharded chunk's per-step collective set is EXACTLY one
+    gradient-sized all-reduce per param leaf plus scalar loss pmeans —
+    and zero env-state/ring/obs collectives of any kind. This turns the
+    '>80% scaling efficiency' layout argument into a compiled-program
+    invariant: env physics, replay traffic and observations must never
+    leave their shard (VERDICT-r3 item 5)."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    mesh = make_env_mesh(8)
+    kw = {} if engine == "jnp" else {"engine": engine, "interpret": True}
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=8 * 128,
+        buffer_capacity_per_shard=4 * 128,
+        batch_size_per_shard=4,
+        **kw,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    chunk = trainer.build_chunk(scan_steps=4)
+    txt = chunk.lower(carry).as_text()
+
+    # No sharded tensor may travel by any non-all-reduce collective.
+    for kind in _COLLECTIVE_KINDS:
+        assert f"stablehlo.{kind}" not in txt, (
+            f"{engine}: unexpected {kind} in the compiled chunk")
+
+    shapes = [_shape_str_to_tuple(s) for s in _all_reduce_shapes(txt)]
+    assert shapes, f"{engine}: no gradient all-reduce found at all"
+    grad_shapes = _grad_shape_set(agent)
+    n_param_leaves = len(jax.tree.leaves(
+        agent.init_state(jax.random.PRNGKey(0)).params))
+
+    scalars = [s for s in shapes if s == ()]
+    tensors = [s for s in shapes if s != ()]
+    # Scalar pmeans: the TD loss (the no-train branch's pmean of the
+    # literal sentinel constant-folds away). Bounded, never per-env.
+    assert 1 <= len(scalars) <= 2, f"{engine}: scalar pmeans = {scalars}"
+    # Exactly ONE all-reduce per gradient leaf — a second round (the
+    # round-4 redundant pmean-after-autodiff-psum bug) or a missing one
+    # both fail here.
+    assert len(tensors) == n_param_leaves, (
+        f"{engine}: expected {n_param_leaves} gradient all-reduces, "
+        f"got {tensors}")
+    for s in tensors:
+        assert s in grad_shapes, (
+            f"{engine}: all-reduce of non-gradient tensor {s} — an "
+            "env-state/ring/obs tensor is crossing shards")

@@ -49,3 +49,40 @@ def test_baseline_round_robin_scores():
         np.testing.assert_allclose(
             results["std"][i], std, rtol=0.01,
             err_msg=f"{name} std drifted")
+
+
+# The reference's OWN frozen checkpoints (reference: sample_models/
+# dqn-agent-{1..5}.safetensors, torch NCHW format), scored through THIS
+# evaluator on the pinned CPU backend. The reference locks these same
+# files at (-64.98, -81.31, -65.08, -71.88, -68.43) on its stack
+# (reference: tests/torch_tests/test_drone_evaluator.py:5-11); exact
+# score reproduction is impossible by design (its env consumes CPython
+# `random` in dict order — PARITY.md), but the capability is the same:
+# load the real competition checkpoints, fly the round-robin, and pin
+# the result. Ordering agrees on the best/worst spread and the scores
+# land in the same band, which is as close as two engines with
+# different RNG streams can witness each other.
+REFERENCE_CKPT_DIR = "/root/reference/sample_models"
+EXPECTED_REFERENCE_CKPTS = {
+    "dqn-agent-1": (-56.1800, 6.0091),
+    "dqn-agent-2": (-83.4500, 10.3328),
+    "dqn-agent-3": (-59.9000, 5.8829),
+    "dqn-agent-4": (-70.5900, 8.9717),
+    "dqn-agent-5": (-64.5000, 9.5709),
+}
+
+
+@pytest.mark.slow
+def test_reference_sample_models_round_robin_scores():
+    paths = [os.path.join(REFERENCE_CKPT_DIR, f"{n}.safetensors")
+             for n in EXPECTED_REFERENCE_CKPTS]
+    if not all(os.path.exists(p) for p in paths):
+        pytest.skip("reference checkout not available")
+    results = evaluate_checkpoints(paths)
+    for i, (name, (mean, std)) in enumerate(EXPECTED_REFERENCE_CKPTS.items()):
+        np.testing.assert_allclose(
+            results["mean"][i], mean, rtol=0.01,
+            err_msg=f"{name} mean score drifted")
+        np.testing.assert_allclose(
+            results["std"][i], std, rtol=0.01,
+            err_msg=f"{name} std drifted")

@@ -326,6 +326,85 @@ def test_eval_returns_reasonable_stats(tmp_path):
     assert std >= 0.0
 
 
+def test_eval_tick_streams_are_independent():
+    """The opponents' randint, the agent's act call, the env step, and
+    the scan carry must each consume a DISTINCT key (VERDICT-r3 #9: the
+    greedy path ignores its key today, so reusing the opponents' key was
+    invisible — until someone adds ε-eval and the two streams correlate)."""
+    rng = jax.random.PRNGKey(7)
+    keys = train_mod._eval_tick_keys(rng)
+    assert len(keys) == 4
+    raw = [np.asarray(jax.random.key_data(k)).tobytes() for k in keys]
+    assert len(set(raw)) == 4, "eval tick keys are not pairwise distinct"
+    # And the eval tick body actually consumes them as separate streams.
+    import inspect
+    import re
+
+    src = inspect.getsource(train_mod.evaluate)
+    assert re.search(r"randint\(\s*opp_key", src), (
+        "opponents' actions must draw from their own opp_key")
+    assert re.search(r"agent\.act\(act_key", src), (
+        "the agent's act call must use the dedicated act_key")
+
+
+def test_eval_fn_cache_key_tracks_forward_affecting_fields():
+    """Cache keying is full-config-minus-denylist: learner-only hypers
+    share one traced program; any other (incl. future) field re-traces
+    (ADVICE-r3: manual field enumeration would silently reuse a stale
+    program when a forward-affecting field is added)."""
+    from dronerl_tpu.agents.dqn import DQNConfig
+
+    base = DQNConfig(hidden_layers=(8, 8))
+    # Learner-only hypers normalize to the same key.
+    assert train_mod._eval_forward_key(base) == train_mod._eval_forward_key(
+        DQNConfig(hidden_layers=(8, 8), learning_rate=0.5, gamma=0.1,
+                  tau=0.3, target_update_interval=77,
+                  epsilon_start=0.2, epsilon_end=0.002,
+                  epsilon_decay=0.5, epsilon_decay_every=3))
+    # Forward-affecting fields do not.
+    assert train_mod._eval_forward_key(base) != train_mod._eval_forward_key(
+        DQNConfig(hidden_layers=(8, 16)))
+    assert train_mod._eval_forward_key(base) != train_mod._eval_forward_key(
+        DQNConfig(hidden_layers=(8, 8), network_type="conv"))
+    # The denylist must name real DQNConfig fields (a renamed field
+    # would make dataclasses.replace raise, but assert it loudly here).
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(DQNConfig)}
+    assert set(train_mod._LEARNER_ONLY_FIELDS) <= names
+
+
+def test_no_train_sentinel_is_negative_and_masked(tmp_path):
+    """Warm-up ticks emit NO_TRAIN_LOSS (< 0); the logged td_loss mask
+    keeps a genuine 0.0 loss and skips the scalar when the whole chunk
+    was warm-up (ADVICE-r3: the old 0.0 sentinel conflated both)."""
+    from dronerl_tpu.constants import NO_TRAIN_LOSS
+
+    assert NO_TRAIN_LOSS < 0.0
+
+    class ProbeLogger:
+        def __init__(self):
+            self.scalars = []
+
+        def log_scalars(self, scalars, step):
+            self.scalars.append(dict(scalars))
+
+        def log_histogram(self, *a, **k):
+            pass
+
+    # A run short enough that every tick is warm-up (batch_size 8,
+    # memory warm-up > num_steps * num_envs experiences is impossible
+    # here, so instead check the masking arithmetic directly).
+    import jax.numpy as jnp
+
+    losses = jnp.array([NO_TRAIN_LOSS, NO_TRAIN_LOSS, 0.0, 2.0])
+    flat = jnp.ravel(losses)
+    trained = flat >= 0.0
+    assert int(jnp.sum(trained)) == 2
+    td = float(jnp.sum(jnp.where(trained, flat, 0.0)) / 2)
+    assert td == 1.0  # genuine zero loss kept, sentinel excluded
+
+
 def test_ring_skip_reasons_name_the_gate_and_the_lever():
     """Falling off the ring engine is an explained perf cliff: each
     auto-select gate produces a reason naming the config lever that
