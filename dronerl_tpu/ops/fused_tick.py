@@ -706,7 +706,7 @@ def _q_forward(obs, weight_refs):
 def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
                  charge_ref, eps_ref, *rest, params: EnvParams, collect: int,
                  block: int, num_envs: int, n_layers: int,
-                 rng_rounds: int = 20):
+                 rng_rounds: int = 20, actor_rng_rounds=None):
     # rest = [W_0, b_0, ..., W_{L-1}, b_{L-1},
     #         out_ground, out_ax, out_ay, out_carry, out_charge,
     #         out_rew, out_done, out_actions, out_obs]
@@ -752,9 +752,14 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
         + env0
         + jax.lax.broadcasted_iota(jnp.int32, (n + 1, block), 1)
     ).astype(_U32)
+    # The actor/opponent uniform field is trainer-level noise, not part
+    # of the env parity contract (module docstring): it may run fewer
+    # threefry rounds than the env's contractual 20 (hybrid RNG,
+    # VERDICT-r3 item 6). Everything upstream (per-env step keys, spawn
+    # uniforms, the reset chain) stays at ``rng_rounds``.
     ab1, ab2 = threefry2x32(
         actor_k[0], actor_k[1], jnp.zeros_like(act_counts), act_counts,
-        rng_rounds)
+        rng_rounds if actor_rng_rounds is None else actor_rng_rounds)
     u_act = _bits_to_unit_float(ab1 ^ ab2)
     rand_actions = jnp.floor(u_act[1:] * float(NUM_ACTIONS)).astype(jnp.int32)
     rand_actions = jnp.clip(rand_actions, 0, NUM_ACTIONS - 1)
@@ -966,7 +971,7 @@ def _flatten_net_params(net_params, net_spec) -> Tuple[list, int]:
 @functools.partial(
     jax.jit,
     static_argnames=("params", "collect", "interpret", "vma", "rng_rounds",
-                     "net_spec"))
+                     "net_spec", "actor_rng_rounds"))
 def full_tick_fused(
     step_key: jax.Array,
     tstate: TState,
@@ -980,6 +985,7 @@ def full_tick_fused(
     vma: Tuple[str, ...] = (),
     rng_rounds: int = 20,
     net_spec=None,
+    actor_rng_rounds=None,
 ):
     """The whole env side of a training tick in one dispatch.
 
@@ -1005,7 +1011,8 @@ def full_tick_fused(
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
-        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds)
+        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds,
+        actor_rng_rounds=actor_rng_rounds)
 
     def spec(rows):
         return pl.BlockSpec(
@@ -1075,7 +1082,7 @@ def full_tick_fused(
 @functools.partial(
     jax.jit,
     static_argnames=("params", "collect", "interpret", "rng_rounds",
-                     "net_spec"))
+                     "net_spec", "actor_rng_rounds"))
 def full_tick_fused_ring(
     step_key: jax.Array,
     tstate: TState,
@@ -1090,6 +1097,7 @@ def full_tick_fused_ring(
     interpret: bool = False,
     rng_rounds: int = 20,
     net_spec=None,
+    actor_rng_rounds=None,
 ):
     """:func:`full_tick_fused` writing observations straight into the
     replay ring.
@@ -1112,7 +1120,8 @@ def full_tick_fused_ring(
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
-        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds)
+        num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds,
+        actor_rng_rounds=actor_rng_rounds)
 
     def spec(rows):
         return pl.BlockSpec(

@@ -323,6 +323,7 @@ def build_train_step_full(
     reset_env_every: int,
     interpret: bool = False,
     rng_rounds: int = 20,
+    actor_rng_rounds=None,
 ):
     """Scan body around the all-in-one kernel (ops/fused_tick.full_tick_fused).
 
@@ -348,7 +349,8 @@ def build_train_step_full(
             fused_tick.full_tick_fused(
                 step_key, tstate, obs_t, ag_state.params, ag_state.epsilon,
                 step % reset_env_every == 0, env_params, k, interpret,
-                rng_rounds=rng_rounds, net_spec=agent.net_spec))
+                rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                actor_rng_rounds=actor_rng_rounds))
 
         exps = {
             "obs": jnp.concatenate(
@@ -397,6 +399,7 @@ def build_train_step_ring(
     reset_env_every: int,
     interpret: bool = False,
     rng_rounds: int = 20,
+    actor_rng_rounds=None,
     sample_before_kernel: bool = False,
     collect_drones: int = 1,
 ):
@@ -475,7 +478,8 @@ def build_train_step_ring(
                 step_key, tstate, ring, read_slot, write_slot,
                 ag_state.params, ag_state.epsilon,
                 step % reset_env_every == 0, env_params, k, interpret,
-                rng_rounds=rng_rounds, net_spec=agent.net_spec))
+                rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                actor_rng_rounds=actor_rng_rounds))
 
         # Scalars live at the same slot as this tick's input observation.
         a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(

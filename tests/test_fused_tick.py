@@ -757,3 +757,94 @@ def test_conv_matmul_vmem_budget_guard():
     st = agent.init_state(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="VMEM|budget"):
         fused_tick._flatten_net_params(st.params, agent.net_spec)
+
+
+def test_full_tick_hybrid_rng_env_parity():
+    """Hybrid RNG (VERDICT-r3 item 6): with actor_rng_rounds=8 the
+    actor/opponent uniform field runs an 8-round threefry (trainer-level
+    noise, non-contractual) while EVERY env stream — per-env step keys,
+    spawn uniforms, the reset chain — stays 20-round bit-exact. The env
+    transition under the kernel's chosen actions must equal the jnp
+    pipeline's exactly, and the actions themselves must match an
+    8-round emulation of the documented actor contract
+    (uniform(split(step_key, E+2)[E], (N+1, E)))."""
+    from dronerl_tpu.constants import NUM_ACTIONS
+    from dronerl_tpu.ops.fused_tick import _bits_to_unit_float
+    from dronerl_tpu.ops.step_kernel import threefry2x32
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    n = params.n_drones
+    agent = DQN(DQNConfig(hidden_layers=(16, 16)), params)
+    rng = jax.random.PRNGKey(3)
+    ag = agent.init_state(rng)
+    states = env_core.reset_batch(rng, params, E)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, params, 1).reshape(
+        E, agent.obs_dim).T
+    eps = jnp.float32(0.7)
+
+    for t in range(4):
+        rng, skey = jax.random.split(rng)
+        tstate2, rew_t, dn_t, actions_t, obs_next = (
+            fused_tick.full_tick_fused(
+                skey, tstate, obs_t, ag.params, eps, jnp.array(False),
+                params, 1, interpret=True, actor_rng_rounds=8))
+
+        # Actor key is still the contractual split(skey, E+2)[E]
+        # (derived at 20 rounds); only the uniform FIELD is 8-round.
+        S = jax.random.split(skey, E + 2)
+        akey = jax.random.key_data(S[E]).astype(jnp.uint32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n + 1, E), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n + 1, E), 1)
+        counts = (rows * E + lanes).astype(jnp.uint32)
+        ab1, ab2 = threefry2x32(
+            jnp.full((n + 1, E), akey[0], jnp.uint32),
+            jnp.full((n + 1, E), akey[1], jnp.uint32),
+            jnp.zeros_like(counts), counts, 8)
+        u_act = _bits_to_unit_float(ab1 ^ ab2)
+        rand = jnp.clip(
+            jnp.floor(u_act[1:] * NUM_ACTIONS).astype(jnp.int32),
+            0, NUM_ACTIONS - 1)
+        greedy = jnp.argmax(
+            agent.q_values_t(ag.params, obs_t), axis=0).astype(jnp.int32)
+        a0 = jnp.where(u_act[0] < eps, rand[0], greedy)
+        exp_actions = jnp.concatenate([a0[None], rand[1:]], axis=0)
+        assert (np.asarray(actions_t) == np.asarray(exp_actions)).all(), t
+
+        # Env transition under those actions: bit-exact vs jnp pipeline
+        # (the parity-contractual part is untouched by the hybrid).
+        st_ref, rew_ref, dn_ref = env_core.step_batch(
+            S[:E], states, np.asarray(exp_actions).T, params)
+        assert (np.asarray(rew_ref) == np.asarray(rew_t).T).all(), t
+        assert (np.asarray(dn_ref) == np.asarray(dn_t).T).all(), t
+        back = fused_tick.from_tstate(tstate2, params)
+        for f in ("ground", "air_x", "air_y", "carrying_package", "charge"):
+            assert (np.asarray(getattr(st_ref, f))
+                    == np.asarray(getattr(back, f))).all(), (t, f)
+
+        states, tstate, obs_t = st_ref, tstate2, obs_next
+
+
+def test_full_tick_actor_rounds_none_is_default_contract():
+    """actor_rng_rounds=None (the default) must stay bit-identical to
+    the 20-round contract — the hybrid is strictly opt-in at the kernel
+    level."""
+    params = EnvParams(grid_size=9, n_drones=4)
+    E = 128
+    agent = DQN(DQNConfig(hidden_layers=(16, 16)), params)
+    rng = jax.random.PRNGKey(5)
+    ag = agent.init_state(rng)
+    states = env_core.reset_batch(rng, params, E)
+    tstate = fused_tick.to_tstate(states)
+    obs_t = env_core.observe_batch(states, params, 1).reshape(
+        E, agent.obs_dim).T
+    skey = jax.random.PRNGKey(11)
+    a = fused_tick.full_tick_fused(
+        skey, tstate, obs_t, ag.params, jnp.float32(0.5), jnp.array(False),
+        params, 1, interpret=True)
+    b = fused_tick.full_tick_fused(
+        skey, tstate, obs_t, ag.params, jnp.float32(0.5), jnp.array(False),
+        params, 1, interpret=True, actor_rng_rounds=20)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
