@@ -244,23 +244,42 @@ def _measure(net: str, repeats: int) -> dict:
     }
 
 
-def _check_cache_versions():
-    """Warn loudly when the committed warm cache predates this jax."""
+def _cache_staleness() -> dict:
+    """Detect a stale warm cache and make it loud IN THE OFFICIAL RECORD.
+
+    Compares this process's traced program hashes (and jax/jaxlib
+    versions) against the frozen BENCH_PROGRAM.json. A mismatch means the
+    committed .jax_cache_bench/ will miss and the run pays the cold
+    compile — the round-2/round-4 failure mode. Besides the stderr
+    warning, the returned keys are merged into the headline JSON so a
+    stale freeze is visible in BENCH_r{N}.json itself, not only in CI
+    (tests/test_bench_program.py remains the pre-commit guard)."""
     record_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_PROGRAM.json")
     try:
         with open(record_path) as f:
             rec = json.load(f)
     except OSError:
-        return
+        _stage("WARNING: BENCH_PROGRAM.json missing — cache freshness "
+               "unknown; run the freeze recipe in tests/test_bench_program.py")
+        return {"cache_stale": True, "cache_stale_reason": "no-record"}
+    stale = []
+    if rec.get("sha256") != program_hash("dense16"):
+        stale.append("dense16")
+    if rec.get("sha256_dense128x64") != program_hash("dense128x64"):
+        stale.append("dense128x64")
     import jaxlib
     warmed = rec.get("versions", {})
     current = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
     if warmed and warmed != current:
-        _stage(f"WARNING: .jax_cache_bench/ was warmed under {warmed} but "
-               f"this environment runs {current} — expect a cold compile "
-               f"(~3.5 min per program); re-warm and refresh "
-               f"BENCH_PROGRAM.json")
+        stale.append(f"versions({warmed}->{current})")
+    if stale:
+        _stage(f"WARNING: .jax_cache_bench/ is STALE for {stale} — this "
+               f"run pays the cold compile (~3.5 min per program). "
+               f"Re-warm (run bench.py on the TPU) and refresh "
+               f"BENCH_PROGRAM.json (recipe: tests/test_bench_program.py).")
+        return {"cache_stale": True, "cache_stale_programs": stale}
+    return {}
 
 
 def main():
@@ -282,7 +301,7 @@ def main():
             sys.exit(1)
         _stage(f"backend reachable after {attempts} attempt(s)")
     setup_compilation_cache(CACHE_DIR)
-    _check_cache_versions()
+    staleness = _cache_staleness()
 
     headline = _measure("dense16", REPEATS)
     result = {
@@ -295,6 +314,7 @@ def main():
         "repeat_s": headline["repeat_s"],
         "steps_per_repeat": TIMED_STEPS * CALLS_PER_REPEAT,
         "num_envs": NUM_ENVS,
+        **staleness,
     }
 
     if os.environ.get("DRONERL_BENCH_SECOND_NET", "1") != "0":
