@@ -319,7 +319,21 @@ class DQN:
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
+            # Same vma-aware branch as train_step_distributed: under
+            # check_vma=True shard_maps autodiff already inserted the
+            # gradient all-reduce (replicated params × varying batch),
+            # so a further pmean would execute a second, redundant
+            # collective round per step. Today's call sites all run
+            # check_vma=False (explicit pmean IS the sync), but a
+            # future typed caller must not reintroduce the doubled
+            # all-reduce (tests/test_distributed.py collective guard).
+            batch_vma = getattr(
+                jax.typeof(batch["obs"]), "vma", frozenset())
+            if axis_name in batch_vma:
+                n = jax.lax.axis_size(axis_name)
+                grads = jax.tree.map(lambda g: g / n, grads)
+            else:
+                grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)

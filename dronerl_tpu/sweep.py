@@ -35,8 +35,9 @@ SWEEP_CONFIG = {
         # sweep's space (reference: torch_impl/sweep.py:96-127: gamma,
         # target_update_interval, epsilon_decay, memory_size, n_drones,
         # pickup_reward; topology covers its size/num_layers).
-        "gamma": {"values": [0.9, 0.95, 0.99, 0.995]},
+        "gamma": {"values": [0.9, 0.95, 0.99, 0.995, 0.999]},
         "target_update_interval": {"values": [1, 10, 100]},
+        "epsilon_decay": {"values": [0.9, 0.95, 0.99, 0.995, 0.999]},
         "epsilon_decay_every": {"values": [1, 5, 25]},
         "memory_size": {"values": [1_000, 10_000, 100_000]},
         "n_drones": {"values": [2, 4, 8]},
@@ -62,6 +63,7 @@ def run_trial(num_steps: int):
         "--learning_rate", str(cfg.learning_rate),
         "--gamma", str(cfg.gamma),
         "--target_update_interval", str(cfg.target_update_interval),
+        "--epsilon_decay", str(cfg.epsilon_decay),
         "--epsilon_decay_every", str(cfg.epsilon_decay_every),
         "--memory_size", str(cfg.memory_size),
         "--n_drones", str(cfg.n_drones),

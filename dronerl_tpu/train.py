@@ -1114,9 +1114,11 @@ def train(args, metrics_logger=None) -> dict:
             # NO_TRAIN_LOSS (negative; MSE is never negative), so the
             # mask is explicit — a genuine 0.0 loss is kept, and an
             # all-warm-up chunk skips the td_loss scalar entirely
-            # instead of logging NaN to the sink.
+            # instead of logging NaN to the sink. ``~(flat < 0)`` keeps
+            # NaN losses in the mean (NaN < 0 is False): a diverged run
+            # logs a NaN td_loss and a warning, never silence.
             flat = jnp.ravel(losses)
-            trained = flat >= 0.0
+            trained = ~(flat < 0.0)
             n_trained = int(jnp.sum(trained))
             scalars = {
                 "train_reward": float(jnp.mean(rewards)),
@@ -1125,6 +1127,10 @@ def train(args, metrics_logger=None) -> dict:
             if n_trained:
                 scalars["td_loss"] = float(
                     jnp.sum(jnp.where(trained, flat, 0.0)) / n_trained)
+                if not math.isfinite(scalars["td_loss"]):
+                    logger.warning(
+                        "non-finite TD loss in chunk %d (training has "
+                        "diverged?)", chunk)
             metrics_logger.log_scalars(
                 scalars, step=(chunk + 1) * scan_steps)
             if args.log_histograms and hist_ctx is not None:
