@@ -77,6 +77,7 @@ class DistributedTrainer:
         engine: str = "jnp",
         interpret: bool = False,
         rng_rounds: int = 20,
+        actor_rng_rounds=None,
     ):
         self.agent = agent
         self.env_params = env_params
@@ -91,6 +92,10 @@ class DistributedTrainer:
         self.engine = engine
         self.interpret = interpret
         self.rng_rounds = rng_rounds
+        # Hybrid RNG (--fast_rng actor): only the in-kernel ε-greedy
+        # actor rows run reduced-round threefry; env transitions stay
+        # bit-parity (see train.rng_rounds_from_args).
+        self.actor_rng_rounds = actor_rng_rounds
         self.num_envs = num_envs
         self.envs_per_shard = num_envs // self.num_devices
         self.collect_drones = collect_drones
@@ -299,6 +304,7 @@ class DistributedTrainer:
         dense = (agent.config.network_type == "dense"
                  or agent.net_spec is not None)
         rng_rounds = self.rng_rounds
+        actor_rng_rounds = self.actor_rng_rounds
 
         def tick(carry, _):
             rng, tstate, obs_t, ag_state, bstate, step = carry
@@ -315,7 +321,8 @@ class DistributedTrainer:
                         step_key, tstate, obs_t, ag_state.params,
                         ag_state.epsilon, step % reset_env_every == 0,
                         env_params, k, interpret, vma=(axis,),
-                        rng_rounds=rng_rounds, net_spec=agent.net_spec))
+                        rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                        actor_rng_rounds=actor_rng_rounds))
             else:
                 # Conv nets: fused env kernel with the actor in XLA (the
                 # same composition as the single-chip fused path — the
@@ -396,6 +403,7 @@ class DistributedTrainer:
         axis = self.axis
         interpret = self.interpret
         rng_rounds = self.rng_rounds
+        actor_rng_rounds = self.actor_rng_rounds
         nb = capacity // eps
         k = self.collect_drones
         obs_dim = agent.obs_dim
@@ -414,7 +422,8 @@ class DistributedTrainer:
                     step_key, tstate, ring, read_slot, write_slot,
                     ag_state.params, ag_state.epsilon,
                     step % reset_env_every == 0, env_params, k, interpret,
-                    rng_rounds=rng_rounds, net_spec=agent.net_spec))
+                    rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                    actor_rng_rounds=actor_rng_rounds))
 
             a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(
                 a_ring, r_ring, d_ring, actions_t, rewards_t, dones_t,

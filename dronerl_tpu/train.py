@@ -625,6 +625,25 @@ def ring_skip_reasons(dense: bool, ring_capacity: int, push_size: int,
     return reasons
 
 
+def rng_rounds_from_args(args) -> Tuple[int, object]:
+    """Translate ``--fast_rng {off,actor,full}`` into kernel knobs.
+
+    Returns ``(rng_rounds, actor_rng_rounds)`` for the fused engines:
+    'off' → (20, None) — everything bit-parity; 'actor' → (20, 8) — the
+    hybrid: env cell-uniforms/spawn chains stay at the parity-locked 20
+    rounds, only the ε-greedy actor rows drop to 8 (transitions stay
+    bit-exact vs the reference; measured +1.5%, PERF.md "Hybrid RNG");
+    'full' → (8, None) — all in-kernel uniforms at 8 rounds, NOT
+    bit-parity. Legacy boolean True (pre-round-5 API) maps to 'full'.
+    """
+    mode = getattr(args, "fast_rng", "off")
+    if mode in (False, None, "off"):
+        return 20, None
+    if mode == "actor":
+        return 20, 8
+    return 8, None  # "full" or legacy True
+
+
 def log_chunk_histograms(metrics_logger, agent: DQN, carry, losses,
                          use_ring: bool, use_fused: bool, step: int,
                          probe: int = 1024) -> None:
@@ -910,9 +929,17 @@ def train(args, metrics_logger=None) -> dict:
                     envs_per_shard * args.collect_drones,
                     max(1, args.batch_size // ndev),
                     args.collect_drones)))
-        if getattr(args, "fast_rng", False) and sharded_engine == "jnp":
+        rng_rounds, actor_rng_rounds = rng_rounds_from_args(args)
+        if (rng_rounds, actor_rng_rounds) != (20, None) \
+                and sharded_engine == "jnp":
             logger.warning("--fast_rng only affects the fused engines; "
                            "the jnp engine always uses jax.random")
+            rng_rounds, actor_rng_rounds = 20, None
+        if actor_rng_rounds is not None and sharded_engine == "fused":
+            logger.warning(
+                "--fast_rng actor is a no-op on the sharded fused (conv-"
+                "XLA-actor) engine: the actor runs in jax.random outside "
+                "the kernel; env uniforms stay at the parity 20 rounds")
         trainer = DistributedTrainer(
             agent, env_params, mesh,
             num_envs=args.num_envs,
@@ -921,8 +948,8 @@ def train(args, metrics_logger=None) -> dict:
             collect_drones=args.collect_drones,
             reset_env_every=args.reset_env_every,
             engine=sharded_engine,
-            rng_rounds=(8 if getattr(args, "fast_rng", False)
-                        and sharded_engine != "jnp" else 20),
+            rng_rounds=rng_rounds,
+            actor_rng_rounds=actor_rng_rounds,
         )
         carry = trainer.init_carry(
             rng, obs_dtype=jnp.dtype(args.ring_obs_dtype))
@@ -994,10 +1021,17 @@ def train(args, metrics_logger=None) -> dict:
         if use_fused:
             engine_name = "fused-pallas-ring" if use_ring else "fused-pallas"
         hist_ctx = (use_ring, use_fused)
-        rng_rounds = 8 if getattr(args, "fast_rng", False) else 20
-        if rng_rounds != 20 and not use_fused:
+        rng_rounds, actor_rng_rounds = rng_rounds_from_args(args)
+        if (rng_rounds, actor_rng_rounds) != (20, None) and not use_fused:
             logger.warning("--fast_rng only affects the fused engines; "
                            "the jnp engine always uses jax.random")
+            rng_rounds, actor_rng_rounds = 20, None
+        if actor_rng_rounds is not None and use_fused and not use_ring \
+                and not dense:
+            logger.warning(
+                "--fast_rng actor is a no-op on the fused (conv-XLA-"
+                "actor) engine: the actor runs in jax.random outside the "
+                "kernel; env uniforms stay at the parity 20 rounds")
         logger.info("Engine: %s", engine_name)
         if use_fused and not use_ring:
             # Tell the user WHY the fastest engine was skipped and what
@@ -1020,6 +1054,7 @@ def train(args, metrics_logger=None) -> dict:
                 agent, env_params, args.num_envs, ring_columns,
                 args.batch_size, args.reset_env_every,
                 rng_rounds=rng_rounds,
+                actor_rng_rounds=actor_rng_rounds,
                 collect_drones=args.collect_drones)
             carry = init_ring_carry(
                 agent, env_params, args.num_envs, ring_columns, rng,
@@ -1043,7 +1078,8 @@ def train(args, metrics_logger=None) -> dict:
                 tick = build_train_step_full(
                     agent, buffer, env_params, args.num_envs,
                     args.collect_drones, args.reset_env_every,
-                    rng_rounds=rng_rounds)
+                    rng_rounds=rng_rounds,
+                    actor_rng_rounds=actor_rng_rounds)
             else:
                 tick = build_train_step_fused(
                     agent, buffer, env_params, args.num_envs,
@@ -1281,10 +1317,17 @@ def parse_args(argv=None):
         help="Ring-engine observation storage dtype. bf16 halves the "
              "per-step HBM obs write; actor/learner still compute in f32")
     p.add_argument(
-        "--fast_rng", action="store_true",
-        help="Fused engines only: reduced-round Threefry-2x32-8 for "
-             "spawn/exploration noise. Faster; env transitions are no "
-             "longer bit-identical to the reference at fixed seeds")
+        "--fast_rng", nargs="?", const="full", default="off",
+        choices=["off", "actor", "full"],
+        help="Fused engines only: reduced-round Threefry-2x32-8. "
+             "'full' (also the bare-flag value) runs ALL in-kernel "
+             "uniforms at 8 rounds — +18%% obs/s, env transitions no "
+             "longer bit-identical to the reference at fixed seeds. "
+             "'actor' is the hybrid: only the ε-greedy actor rows drop "
+             "to 8 rounds while the 162 env cell-uniforms stay at the "
+             "full 20 — env transitions stay bit-exact, measured +1.5%% "
+             "(the actor rows are ~5/167 of the threefry work; see "
+             "PERF.md 'Hybrid RNG')")
     p.add_argument("--save_final_checkpoint", action="store_true")
     p.add_argument(
         "--load_from_checkpoint", type=str, default=None,

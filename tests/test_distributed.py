@@ -201,6 +201,36 @@ def test_ring_engine_conv_matmul_chunk_interpret():
             np.testing.assert_array_equal(shards[0], s)
 
 
+@pytest.mark.slow
+def test_ring_engine_hybrid_rng_chunk_interpret():
+    """Sharded ring engine in hybrid RNG mode (--fast_rng actor →
+    actor_rng_rounds=8): the chunk builds and trains; the kernel-level
+    env-transition parity of the hybrid is locked separately in
+    tests/test_fused_tick.py::test_full_tick_hybrid_rng_env_parity."""
+    env_params = EnvParams(grid_size=9, n_drones=4)
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), env_params)
+    mesh = make_env_mesh(4)
+    trainer = DistributedTrainer(
+        agent, env_params, mesh,
+        num_envs=4 * 128,
+        buffer_capacity_per_shard=4 * 128,
+        batch_size_per_shard=4,
+        engine="ring",
+        interpret=True,
+        actor_rng_rounds=8,
+    )
+    carry = trainer.init_carry(jax.random.PRNGKey(0))
+    chunk = trainer.build_chunk(scan_steps=3)
+    carry, (rewards, losses) = chunk(carry)
+    assert rewards.shape == (3, 4 * 128)
+    assert np.isfinite(np.asarray(rewards)).all()
+    for leaf in jax.tree.leaves(carry[-3].params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
 def test_ring_engine_rejects_conv_and_indivisible_batch():
     env_params = EnvParams(grid_size=9, n_drones=4)
     mesh = make_env_mesh(8)

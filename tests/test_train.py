@@ -46,6 +46,29 @@ def test_train_smoke(tmp_path):
     assert "metrics.json" in files
 
 
+def test_fast_rng_cli_modes():
+    """--fast_rng {off,actor,full} → (rng_rounds, actor_rng_rounds).
+
+    'actor' is the hybrid (env uniforms stay at the parity-locked 20
+    rounds, only the in-kernel ε-greedy actor rows drop to 8); the bare
+    flag keeps its pre-round-5 meaning ('full'), as does a legacy
+    boolean True attribute."""
+    translate = train_mod.rng_rounds_from_args
+    assert translate(train_mod.parse_args([])) == (20, None)
+    assert translate(train_mod.parse_args(["--fast_rng", "off"])) == \
+        (20, None)
+    assert translate(train_mod.parse_args(["--fast_rng", "actor"])) == \
+        (20, 8)
+    assert translate(train_mod.parse_args(["--fast_rng", "full"])) == \
+        (8, None)
+    assert translate(train_mod.parse_args(["--fast_rng"])) == (8, None)
+
+    class LegacyArgs:
+        fast_rng = True
+
+    assert translate(LegacyArgs()) == (8, None)
+
+
 def test_train_collect_all_drones(tmp_path):
     args = make_args(tmp_path, collect_drones=4, skip_final_eval=True)
     metrics = train_mod.train(args)
