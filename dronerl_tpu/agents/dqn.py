@@ -428,6 +428,30 @@ class DQN:
             return done
         return step % self.config.epsilon_decay_every == 0
 
+    def apply_schedules(self, state: DQNState, step: jax.Array,
+                        done: jax.Array) -> DQNState:
+        """Target-EMA + ε-decay as predicated selects, no ``lax.cond``.
+
+        Bit-identical to conditionally calling :meth:`update_target` /
+        :meth:`decay_epsilon` (a select returns exactly one branch's
+        value), but both branches are a handful of elementwise ops on
+        tiny tensors, so computing them unconditionally removes two XLA
+        conditionals — sequencing points the scan body otherwise pays
+        every step (round-5 tail optimization, PERF.md)."""
+        do_t = step % self.config.target_update_interval == 0
+        ema = optax.incremental_update(
+            state.params, state.target_params, self.config.tau)
+        target = jax.tree.map(
+            lambda new, old: jnp.where(do_t, new, old),
+            ema, state.target_params)
+        do_e = self.should_decay_epsilon(step, done)
+        eps = jnp.where(
+            do_e,
+            jnp.maximum(state.epsilon * self.config.epsilon_decay,
+                        self.config.epsilon_end),
+            state.epsilon)
+        return state.replace(target_params=target, epsilon=eps)
+
     # --- persistence -------------------------------------------------------
 
     def save(self, path: str, state: DQNState) -> None:

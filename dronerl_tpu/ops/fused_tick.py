@@ -271,6 +271,14 @@ class _GridOps:
             ]
         return masks
 
+    def shared_cells(self, rows_d, cols_d):
+        """The n per-drone cell-axis compare masks for one (rows, cols)
+        coordinate set, computed ONCE and shared by every point read and
+        last-writer scatter at those coordinates (the (C, B) compares
+        dominate both costs; round-5 measured ~halving the physics
+        read/scatter budget)."""
+        return _SharedCells(self, rows_d, cols_d)
+
     def sentinel(self, u, valid):
         """where(valid, u, -inf) with the tail totally ordered by index:
         invalid cells score -1 - index, below every u ∈ [0, 1)."""
@@ -367,6 +375,51 @@ class _Picker:
         return chosen, idx
 
 
+class _SharedCells:
+    """Shared per-drone cell compares for one coordinate set.
+
+    ``sels[i]`` is ``cell == wrap_clamp(rows_i) * g + wrap_clamp(cols_i)``
+    — exactly the compare both :meth:`_GridOps.point_read` (at the
+    wrap-clamped flat index) and :meth:`_GridOps.last_writer_masks`
+    perform per drone. Reads re-use it as the select mask; scatters AND
+    it with ``valid`` (out-of-range coordinates must read the clamped
+    cell but never write), which reproduces the unclamped-compare-AND-
+    valid mask bit-exactly: when valid the clamp is the identity, when
+    invalid both forms are all-False.
+    """
+
+    def __init__(self, ops: _GridOps, rows_d, cols_d):
+        g = ops.g
+        rows_w = jnp.where(rows_d < 0, rows_d + g, rows_d)
+        cols_w = jnp.where(cols_d < 0, cols_d + g, cols_d)
+        self.ops = ops
+        self.valid = (rows_w >= 0) & (rows_w < g) & (cols_w >= 0) & (
+            cols_w < g)
+        flat = (jnp.clip(rows_w, 0, g - 1) * g
+                + jnp.clip(cols_w, 0, g - 1))
+        self.sels = [ops.cell == ops.row(flat, i) for i in range(ops.n)]
+
+    def read(self, field):
+        """point_read(field, wrap_clamped flat) for every drone → (N, B)."""
+        rows = [
+            jnp.sum(jnp.where(sel, field, 0.0), axis=0, keepdims=True)
+            for sel in self.sels]
+        return jnp.concatenate(rows, axis=0)
+
+    def scatter_masks(self, flags_list):
+        """last_writer_masks(rows, cols, flags_list) on the shared sels."""
+        ops = self.ops
+        writes = self.sels[0] & ops.row(self.valid, 0)
+        masks = [writes & ops.row(flags, 0) for flags in flags_list]
+        for i in range(1, ops.n):
+            writes = self.sels[i] & ops.row(self.valid, i)
+            masks = [
+                (writes & ops.row(flags, i)) | (~writes & mask)
+                for flags, mask in zip(flags_list, masks)
+            ]
+        return masks
+
+
 def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
                          orig_ground, air_x, air_y, orig_carrying, charge,
                          actions):
@@ -391,28 +444,28 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
 
     # --- crashes ---------------------------------------------------------
     off_board = (new_y < 0) | (new_y >= g) | (new_x < 0) | (new_x >= g)
-    flat_in = jnp.clip(new_y, 0, g - 1) * g + jnp.clip(new_x, 0, g - 1)
-    flat_wc = ops.wrap_clamp(new_y) * g + ops.wrap_clamp(new_x)
-    sky_rows = []
-    tgt_rows = []
-    for i in range(n):
-        sky_rows.append(ops.point_read(orig_ground, row(flat_in, i)))
-        tgt_rows.append(ops.point_read(orig_ground, row(flat_wc, i)))
-    sky_cell = jnp.concatenate(sky_rows, axis=0)          # (N, B)
-    target_cell = jnp.concatenate(tgt_rows, axis=0)
-    hit_sky = (sky_cell == Object.SKYSCRAPER.value) & ~off_board
-    conflicts = []
-    for i in range(n):
-        same_i = None
-        for j in range(n):
-            if j == i:
-                continue
-            s = (row(new_x, i) == row(new_x, j)) & (
-                row(new_y, i) == row(new_y, j))
-            same_i = s if same_i is None else (same_i | s)
-        conflicts.append(same_i.astype(jnp.float32))
-    # concat in f32: Mosaic cannot concatenate i1 vectors along sublanes
-    hit_drone = jnp.concatenate(conflicts, axis=0) > 0
+    # ONE set of per-drone cell compares serves the target reads here AND
+    # the pickup/delivery scatter masks below (identical coordinates).
+    tgt = ops.shared_cells(new_y, new_x)
+    target_cell = tgt.read(orig_ground)                   # (N, B)
+    # The skyscraper check is the target read masked on-board: the
+    # reference reads ground at the CLIPPED coordinates but only counts
+    # a hit when the move stayed on the board, where clip == wrap_clamp
+    # == identity — so the separate clipped read is redundant.
+    hit_sky = (target_cell == Object.SKYSCRAPER.value) & ~off_board
+    # Same-cell conflicts on a composite position key: 256 > any
+    # coordinate spread, so key equality == coordinate-pair equality
+    # (raw/unwrapped coordinates, matching the reference's pairwise
+    # compare). Each sublane roll compares all n (i, i+s mod n) pairs in
+    # one (N, B) op — n-1 ops instead of n(n-1) row-pair compares.
+    pos_key = new_x * 256 + new_y                         # (N, B) int32
+    hit_drone = None
+    for s in range(1, n):
+        rolled = jnp.concatenate([pos_key[s:], pos_key[:s]], axis=0)
+        same = pos_key == rolled
+        hit_drone = same if hit_drone is None else (hit_drone | same)
+    if hit_drone is None:                                 # n == 1
+        hit_drone = jnp.zeros_like(off_board)
     collided = off_board | hit_sky | hit_drone
 
     # --- battery ------------------------------------------------------------
@@ -430,9 +483,8 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
     carrying = (orig_carrying & survivors) | picked_up
     at_dropzone = (target_cell == Object.DROPZONE.value) & survivors
     delivered = at_dropzone & orig_carrying
-    # One compare pass serves both scatter masks (same coordinates).
-    lifted, consumed = ops.last_writer_masks(
-        new_y, new_x, (picked_up, delivered))
+    # Scatter masks on the compares already paid for by the target read.
+    lifted, consumed = tgt.scatter_masks((picked_up, delivered))
     ground = jnp.where(lifted, 0.0, orig_ground)
     carrying = carrying & ~delivered
 
@@ -458,12 +510,14 @@ def _physics_and_observe(ops: _GridOps, collect: int, u_ground, u_air,
     new_x, new_y = ops.air_spawn(u_air, new_x, new_y, orig_ground)
 
     # --- respawned drones auto-pickup (transposed [x, y] quirk) -----------------
-    packet_here = (ground == Object.PACKET.value).astype(jnp.float32)
-    flat_t = ops.wrap_clamp(new_x) * g + ops.wrap_clamp(new_y)
-    rp_rows = [ops.point_read(packet_here, row(flat_t, i)) for i in range(n)]
-    respawn_pickup = (jnp.concatenate(rp_rows, axis=0) > 0) & dones
+    # One compare set again serves both the packet read and the lift
+    # scatter; reading the ground code directly and comparing == PACKET
+    # equals reading a precomputed 0/1 packet field (integer codes are
+    # exact in f32), skipping the full-grid packet_here compare too.
+    rp = ops.shared_cells(new_x, new_y)
+    respawn_pickup = (rp.read(ground) == Object.PACKET.value) & dones
     carrying = carrying | respawn_pickup
-    lifted2 = ops.last_writer_mask(new_x, new_y, respawn_pickup)
+    (lifted2,) = rp.scatter_masks((respawn_pickup,))
     ground = jnp.where(lifted2, 0.0, ground)
 
     obs_rows = _encode_obs(ops, collect, ground, new_x, new_y, carrying,
@@ -622,16 +676,13 @@ def _reset_envs(ops: _GridOps, rk1, rk2):
     air_x, air_y = ops.air_spawn(
         us[4], sentinel_coords, sentinel_coords, ground)
 
-    # auto-pickup without reward ([y, x] — NOT transposed at reset)
-    flat = ops.row(air_y, 0) * g + ops.row(air_x, 0)
-    carrying_rows = [ops.point_read(ground, flat) == Object.PACKET.value]
-    for i in range(1, n):
-        flat = ops.row(air_y, i) * g + ops.row(air_x, i)
-        carrying_rows.append(
-            ops.point_read(ground, flat) == Object.PACKET.value)
-    carrying = jnp.concatenate(
-        [cr.astype(jnp.float32) for cr in carrying_rows], axis=0) > 0
-    lifted = ops.last_writer_mask(air_y, air_x, carrying)
+    # auto-pickup without reward ([y, x] — NOT transposed at reset).
+    # Fresh spawns are always in-range, so the shared wrap-clamped
+    # compares equal the raw flat-index reads; one compare set serves
+    # both the packet reads and the lift scatter.
+    sc = ops.shared_cells(air_y, air_x)
+    carrying = sc.read(ground) == Object.PACKET.value
+    (lifted,) = sc.scatter_masks((carrying,))
     ground = jnp.where(lifted, 0.0, ground)
     charge = jnp.full((n, block), 100.0, jnp.float32)
     return ground, air_x, air_y, carrying, charge

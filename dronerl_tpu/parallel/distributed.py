@@ -376,12 +376,8 @@ class DistributedTrainer:
                 do_train, no_train,
                 (ag_state, batch))
 
-            ag_state = jax.lax.cond(
-                step % agent.config.target_update_interval == 0,
-                agent.update_target, lambda s: s, ag_state)
-            ag_state = jax.lax.cond(
-                agent.should_decay_epsilon(step, jnp.array(False)),
-                agent.decay_epsilon, lambda s: s, ag_state)
+            ag_state = agent.apply_schedules(
+                ag_state, step, jnp.array(False))
 
             rng = jax.random.fold_in(rng, 1)
             carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
@@ -448,12 +444,8 @@ class DistributedTrainer:
             ag_state, loss = jax.lax.cond(
                 valid >= batch_size // k, do_train, no_train,
                 (ag_state, batch))
-            ag_state = jax.lax.cond(
-                step % agent.config.target_update_interval == 0,
-                agent.update_target, lambda s: s, ag_state)
-            ag_state = jax.lax.cond(
-                agent.should_decay_epsilon(step, jnp.array(False)),
-                agent.decay_epsilon, lambda s: s, ag_state)
+            ag_state = agent.apply_schedules(
+                ag_state, step, jnp.array(False))
 
             rng = jax.random.fold_in(rng, 1)
             carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
@@ -540,12 +532,8 @@ class DistributedTrainer:
                 do_train, no_train,
                 (ag_state, bstate, sample_key))
 
-            ag_state = jax.lax.cond(
-                step % agent.config.target_update_interval == 0,
-                agent.update_target, lambda s: s, ag_state)
-            ag_state = jax.lax.cond(
-                agent.should_decay_epsilon(step, jnp.array(False)),
-                agent.decay_epsilon, lambda s: s, ag_state)
+            ag_state = agent.apply_schedules(
+                ag_state, step, jnp.array(False))
 
             def fresh(rkey):
                 states = env_core.reset_batch(rkey, env_params, envs_per_shard)

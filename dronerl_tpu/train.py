@@ -183,19 +183,9 @@ def build_train_step(
             (ag_state, bstate, sample_key),
         )
 
-        # Target sync + exploration schedule.
-        ag_state = jax.lax.cond(
-            step % agent.config.target_update_interval == 0,
-            agent.update_target,
-            lambda s: s,
-            ag_state,
-        )
-        ag_state = jax.lax.cond(
-            agent.should_decay_epsilon(step, dones[0, 0]),
-            agent.decay_epsilon,
-            lambda s: s,
-            ag_state,
-        )
+        # Target sync + exploration schedule (predicated selects,
+        # not conds — see DQN.apply_schedules).
+        ag_state = agent.apply_schedules(ag_state, step, dones[0, 0])
 
         # Periodic full reset keeps the task distribution stationary.
         def fresh_envs(reset_rng):
@@ -288,12 +278,7 @@ def build_train_step_fused(
             (ag_state, bstate, sample_key),
         )
 
-        ag_state = jax.lax.cond(
-            step % agent.config.target_update_interval == 0,
-            agent.update_target, lambda s: s, ag_state)
-        ag_state = jax.lax.cond(
-            agent.should_decay_epsilon(step, dones_t[0, 0]),
-            agent.decay_epsilon, lambda s: s, ag_state)
+        ag_state = agent.apply_schedules(ag_state, step, dones_t[0, 0])
 
         def fresh_envs(reset_rng):
             states = env_core.reset_batch(reset_rng, env_params, num_envs)
@@ -377,12 +362,7 @@ def build_train_step_full(
             lambda operand: (operand[0], NO_TRAIN_LOSS),
             (ag_state, batch),
         )
-        ag_state = jax.lax.cond(
-            step % agent.config.target_update_interval == 0,
-            agent.update_target, lambda s: s, ag_state)
-        ag_state = jax.lax.cond(
-            agent.should_decay_epsilon(step, dones_t[0, 0]),
-            agent.decay_epsilon, lambda s: s, ag_state)
+        ag_state = agent.apply_schedules(ag_state, step, dones_t[0, 0])
 
         carry = (rng, tstate, next_obs_t, ag_state, bstate, step + 1)
         return carry, (rewards_t[0], ag_state.epsilon, loss)
@@ -500,12 +480,7 @@ def build_train_step_ring(
             lambda op: (op[0], NO_TRAIN_LOSS),
             (ag_state, batch),
         )
-        ag_state = jax.lax.cond(
-            step % agent.config.target_update_interval == 0,
-            agent.update_target, lambda s: s, ag_state)
-        ag_state = jax.lax.cond(
-            agent.should_decay_epsilon(step, dones_t[0, 0]),
-            agent.decay_epsilon, lambda s: s, ag_state)
+        ag_state = agent.apply_schedules(ag_state, step, dones_t[0, 0])
 
         carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
                  ag_state, (), step + 1)
