@@ -83,6 +83,11 @@ REPEATS_BIG = int(os.environ.get("DRONERL_BENCH_REPEATS_BIG", 6))
 WARMUP_CALLS = 2
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache_bench")
+# Serialized loaded executables (skip the per-process remote device-
+# program build entirely — see _measure). Committed next to the
+# compilation cache; bench.py re-warms both on a miss.
+AOT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".jax_aot_bench")
 
 NETS = {
     "dense16": (16, 16),
@@ -111,7 +116,7 @@ def build(net: str = "dense16"):
         # only feeds actor/learner matmuls, which round to bf16 on the
         # MXU anyway.
         return init_ring_carry(agent, env_params, NUM_ENVS, capacity, rng,
-                               obs_dtype=jnp.bfloat16)
+                               obs_dtype=jnp.bfloat16, batch_size=8)
 
     @jax.jit
     def run(carry, dummy):
@@ -197,17 +202,44 @@ def _measure(net: str, repeats: int) -> dict:
     carry = make_carry()
     carry = jax.block_until_ready(carry)
 
-    # Compile ahead-of-time so compilation can never leak into the timed
-    # region, and report its cost explicitly. With the committed warm
-    # cache this takes seconds; cold it is ~3.5 min at 200 steps.
-    _stage(f"[{net}] AOT compile (lower + compile)")
+    # Fast path: a committed serialized EXECUTABLE (.jax_aot_bench/).
+    # The persistent compilation cache only covers XLA's host compile;
+    # a fresh process on the tunneled backend still pays the remote
+    # device-program build (measured 102-501 s — PERF.md). Deserializing
+    # the loaded executable skips both. The loader hash/version-checks
+    # the file (utils/aot_cache) so it can never serve a stale program.
+    from dronerl_tpu.utils import aot_cache
+
+    aot_path = os.path.join(AOT_DIR, f"{net}.jaxexe")
+    sha = program_hash(net)
+    compiled = None
+    compile_s = 0.0
     t0 = time.perf_counter()
     try:
-        compiled = run.lower(carry, dummy).compile()
-    except Exception:  # AOT unavailable on some backends — jit fallback
-        compiled = run
-        compiled(carry, dummy)[1][0].block_until_ready()
-    compile_s = time.perf_counter() - t0
+        compiled = aot_cache.load(aot_path, sha)
+        _stage(f"[{net}] loaded serialized executable "
+               f"({time.perf_counter() - t0:.1f}s)")
+    except (OSError, Exception) as e:  # noqa: BLE001 — any miss → compile
+        _stage(f"[{net}] AOT executable miss ({type(e).__name__}: {e}); "
+               f"lower + compile")
+
+    if compiled is None:
+        # Compile ahead-of-time so compilation can never leak into the
+        # timed region, and report its cost explicitly. With the warm
+        # compilation cache this takes seconds; cold it is ~3.5 min.
+        t0 = time.perf_counter()
+        try:
+            compiled = run.lower(carry, dummy).compile()
+        except Exception:  # AOT unavailable on some backends — jit fallback
+            compiled = run
+            compiled(carry, dummy)[1][0].block_until_ready()
+        compile_s = time.perf_counter() - t0
+        if compiled is not run:
+            try:  # re-warm the executable cache for the next fresh process
+                aot_cache.save(compiled, aot_path, sha)
+                _stage(f"[{net}] serialized executable -> {aot_path}")
+            except Exception as e:  # noqa: BLE001 — cache write is optional
+                _stage(f"[{net}] executable serialization failed: {e!r}")
     _stage(f"[{net}] compile done in {compile_s:.1f}s; warming up")
 
     # Warm up: fill the replay ring and absorb first-dispatch costs

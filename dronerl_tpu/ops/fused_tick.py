@@ -757,14 +757,35 @@ def _q_forward(obs, weight_refs):
 def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
                  charge_ref, eps_ref, *rest, params: EnvParams, collect: int,
                  block: int, num_envs: int, n_layers: int,
-                 rng_rounds: int = 20, actor_rng_rounds=None):
-    # rest = [W_0, b_0, ..., W_{L-1}, b_{L-1},
-    #         out_ground, out_ax, out_ay, out_carry, out_charge,
+                 rng_rounds: int = 20, actor_rng_rounds=None,
+                 td_hparams=None):
+    # rest = [W_0, b_0, ..., W_{L-1}, b_{L-1}],
+    #        with td_hparams also [Wt, bt]*L, [mu]*2L, [nu]*2L,
+    #        batch obs/next_obs/actions/rewards/dones,
+    #        then the outputs:
+    #        [out_ground, out_ax, out_ay, out_carry, out_charge,
     #         out_rew, out_done, out_actions, out_obs]
+    #        (+ td: [p_out]*2L, [mu_out]*2L, [nu_out]*2L, out_loss)
+    td = td_hparams is not None
     weight_refs = [
         (rest[2 * i], rest[2 * i + 1]) for i in range(n_layers)]
+    pos = 2 * n_layers
+    if td:
+        tgt_flat = rest[pos:pos + 2 * n_layers]
+        mu_flat = rest[pos + 2 * n_layers:pos + 4 * n_layers]
+        nu_flat = rest[pos + 4 * n_layers:pos + 6 * n_layers]
+        pos += 6 * n_layers
+        bobs_ref, bnext_ref, bact_ref, brew_ref, bdone_ref = (
+            rest[pos:pos + 5])
+        pos += 5
+    outs = rest[pos:]
     (out_ground, out_ax, out_ay, out_carry, out_charge, out_rew, out_done,
-     out_actions, out_obs) = rest[2 * n_layers :]
+     out_actions, out_obs) = outs[:9]
+    if td:
+        p_out_flat = outs[9:9 + 2 * n_layers]
+        mu_out_flat = outs[9 + 2 * n_layers:9 + 4 * n_layers]
+        nu_out_flat = outs[9 + 4 * n_layers:9 + 6 * n_layers]
+        out_loss = outs[9 + 6 * n_layers]
 
     ops = _GridOps(params, block, rng_rounds)
     c = params.num_cells
@@ -868,6 +889,104 @@ def _full_kernel(sp_ref, obs_in_ref, ground_ref, ax_ref, ay_ref, carry_ref,
         out_carry[:] = f_carry.astype(jnp.int8)
         out_charge[:] = f_charge
         out_obs[:] = jnp.concatenate(fresh_obs, axis=0).astype(out_obs.dtype)
+
+    if td:
+        # --- in-kernel TD(0) + Adam (round-5) --------------------------
+        # The XLA-side learner is tiny math spread over ~40 fusions —
+        # measured 128 µs/step of pure sequencing (PERF.md round-5
+        # budget). Here it rides grid step 0 of the env kernel, whose
+        # per-block critical path it barely extends. Math mirrors
+        # ops/learner_kernel.py (numerics-tested vs DQN.train_step_t);
+        # the batch is sampled BEFORE the dispatch (the documented
+        # sample_before_kernel semantics), and sp[4] gates the update:
+        # when 0 every state array passes through unchanged and the loss
+        # is the no-train sentinel (train.NO_TRAIN_LOSS == -1.0).
+        if os.environ.get("DRONERL_TD_PASSTHROUGH") == "1":
+            # Measurement-only ablation: keep every TD operand and output
+            # but skip the learner compute — isolates the operand/
+            # write-back overhead from the math (scripts usage only).
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                for i in range(2 * n_layers):
+                    p_out_flat[i][:] = weight_refs[i // 2][i % 2][:]
+                    mu_out_flat[i][:] = mu_flat[i][:]
+                    nu_out_flat[i][:] = nu_flat[i][:]
+                out_loss[:] = jnp.zeros((1, 1), jnp.float32)
+            return
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            gamma, lr, b1, b2, adam_eps = td_hparams
+            target_refs = [
+                (tgt_flat[2 * i], tgt_flat[2 * i + 1])
+                for i in range(n_layers)]
+            can_train = sp_ref[4] != 0
+
+            def forward(x, weights):
+                acts = [x]
+                h = x
+                for idx, (w_ref, b_ref) in enumerate(weights):
+                    h = jax.lax.dot_general(
+                        w_ref[:], h, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + b_ref[:]
+                    if idx < n_layers - 1:
+                        h = jnp.maximum(h, 0.0)
+                    acts.append(h)
+                return acts
+
+            bsz = bobs_ref.shape[1]
+            acts = forward(bobs_ref[:], weight_refs)      # [x, h1, .., q]
+            q_b = acts[-1]                                # (A, Bt)
+            next_q = forward(bnext_ref[:], target_refs)[-1]
+            arow_b = jax.lax.broadcasted_iota(
+                jnp.int32, (NUM_ACTIONS, 1), 0)
+            onehot_a = (arow_b == bact_ref[:]).astype(jnp.float32)
+            taken = jnp.sum(q_b * onehot_a, axis=0, keepdims=True)
+            bootstrap = jnp.max(next_q, axis=0, keepdims=True)
+            tgt = brew_ref[:] + gamma * bootstrap * (1.0 - bdone_ref[:])
+            delta = taken - tgt
+            loss = jnp.sum(delta * delta, axis=1, keepdims=True) * (
+                1.0 / bsz)
+
+            # d(mean(delta²))/dq = onehot · 2·delta/Bt (exact: Bt is a
+            # power of two), then standard dense backprop.
+            gout = onehot_a * (delta * (2.0 / bsz))
+            grads = [None] * n_layers
+            for idx in range(n_layers - 1, -1, -1):
+                a_prev = acts[idx]
+                dw = jax.lax.dot_general(
+                    a_prev, gout, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (in, out)
+                db = jnp.sum(gout, axis=1, keepdims=True)  # (out, 1)
+                grads[idx] = (dw, db)
+                if idx > 0:
+                    gin = jax.lax.dot_general(
+                        weight_refs[idx][0][:], gout,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    gout = gin * (a_prev > 0)
+
+            # Adam (optax scale_by_adam formulas; bias-correction powers
+            # via exp/log like ops/learner_kernel.py — count rides sp[6]).
+            cf = (sp_ref[6] + 1).astype(jnp.float32)
+            bc1 = 1.0 - jnp.exp(cf * jnp.log(jnp.float32(b1)))
+            bc2 = 1.0 - jnp.exp(cf * jnp.log(jnp.float32(b2)))
+            for idx in range(n_layers):
+                for j in range(2):
+                    g = grads[idx][j]
+                    p_ref = weight_refs[idx][j]
+                    m_ref = mu_flat[2 * idx + j]
+                    v_ref = nu_flat[2 * idx + j]
+                    m = b1 * m_ref[:] + (1 - b1) * g
+                    v = b2 * v_ref[:] + (1 - b2) * g * g
+                    upd = (m / bc1) / (jnp.sqrt(v / bc2) + adam_eps)
+                    p_out_flat[2 * idx + j][:] = jnp.where(
+                        can_train, p_ref[:] - lr * upd, p_ref[:])
+                    mu_out_flat[2 * idx + j][:] = jnp.where(
+                        can_train, m, m_ref[:])
+                    nu_out_flat[2 * idx + j][:] = jnp.where(
+                        can_train, v, v_ref[:])
+            out_loss[:] = jnp.where(can_train, loss, -1.0)
 
 
 def _block_for(num_envs: int, max_block: int = _LANE_BLOCK) -> int:
@@ -1130,10 +1249,21 @@ def full_tick_fused(
     )
 
 
+def _unflatten_dense(flat) -> dict:
+    """[W0, b0(out,1), W1, b1, ...] → flax dense param pytree."""
+    out = {}
+    for idx in range(len(flat) // 2):
+        out[f"Dense_{idx}"] = {
+            "kernel": flat[2 * idx],
+            "bias": flat[2 * idx + 1][:, 0],
+        }
+    return {"params": out}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "collect", "interpret", "rng_rounds",
-                     "net_spec", "actor_rng_rounds"))
+                     "net_spec", "actor_rng_rounds", "td_hparams"))
 def full_tick_fused_ring(
     step_key: jax.Array,
     tstate: TState,
@@ -1149,6 +1279,9 @@ def full_tick_fused_ring(
     rng_rounds: int = 20,
     net_spec=None,
     actor_rng_rounds=None,
+    td_hparams=None,
+    td_batch=None,
+    td_aux=None,
 ):
     """:func:`full_tick_fused` writing observations straight into the
     replay ring.
@@ -1158,6 +1291,16 @@ def full_tick_fused_ring(
     ``read_slot`` and writes the next observation at ``write_slot``
     (both multiples of num_envs; the buffer is aliased in/out so nothing
     is copied). Returns ``(tstate', rewards, dones, actions, obs_ring')``.
+
+    With ``td_hparams`` (static ``(gamma, lr, b1, b2, eps)``) the TD(0)
+    + Adam learner ALSO runs in-kernel on grid step 0 (dense nets only):
+    ``td_batch`` is the pre-sampled replay batch (obs/next_obs
+    (obs_dim·k?, Bt) feature-major, actions/rewards/dones (Bt,)) and
+    ``td_aux = (target_params, mu, nu, can_train, count)`` the learner
+    state. The return gains ``(new_params, new_mu, new_nu, loss)`` —
+    selected through unchanged when ``can_train`` is false (loss is the
+    no-train sentinel). Math mirrors ops/learner_kernel.py /
+    DQN.train_step_t; see the kernel comment for the measured rationale.
     """
     c = params.num_cells
     n = params.n_drones
@@ -1168,11 +1311,14 @@ def full_tick_fused_ring(
     block = _block_for(num_envs, max_block=_FULL_KERNEL_MAX_BLOCK)
     grid = (num_envs // block,)
     flat_params, n_layers = _flatten_net_params(net_params, net_spec)
+    td = td_hparams is not None
+    if td and net_spec is not None:
+        raise ValueError("in-kernel TD supports dense networks only")
 
     kernel = functools.partial(
         _full_kernel, params=params, collect=collect, block=block,
         num_envs=num_envs, n_layers=n_layers, rng_rounds=rng_rounds,
-        actor_rng_rounds=actor_rng_rounds)
+        actor_rng_rounds=actor_rng_rounds, td_hparams=td_hparams)
 
     def spec(rows):
         return pl.BlockSpec(
@@ -1181,6 +1327,33 @@ def full_tick_fused_ring(
     def wspec(arr):
         return pl.BlockSpec(
             arr.shape, lambda i, _sp: (0, 0), memory_space=pltpu.VMEM)
+
+    td_inputs = []
+    td_in_specs = []
+    td_out_specs = ()
+    td_out_shapes = ()
+    can_train = count = None
+    if td:
+        target_params, mu_tree, nu_tree, can_train, count = td_aux
+        flat_target, _ = _flatten_net_params(target_params, None)
+        flat_mu, _ = _flatten_net_params(mu_tree, None)
+        flat_nu, _ = _flatten_net_params(nu_tree, None)
+        batch_ops = [
+            td_batch["obs"].astype(jnp.float32),
+            td_batch["next_obs"].astype(jnp.float32),
+            td_batch["actions"].astype(jnp.int32).reshape(1, -1),
+            td_batch["rewards"].astype(jnp.float32).reshape(1, -1),
+            td_batch["dones"].astype(jnp.float32).reshape(1, -1),
+        ]
+        td_inputs = flat_target + flat_mu + flat_nu + batch_ops
+        td_in_specs = [wspec(a) for a in td_inputs]
+        td_out_specs = tuple(wspec(a) for a in flat_params * 3) + (
+            pl.BlockSpec((1, 1), lambda i, _sp: (0, 0),
+                         memory_space=pltpu.VMEM),)
+        td_out_shapes = tuple(
+            jax.ShapeDtypeStruct(a.shape, jnp.float32)
+            for a in flat_params * 3) + (
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),)
 
     # The ring's lane-block offsets ride the scalar-prefetch args: sp[2]
     # is the read block, sp[3] the write block (in lane-block units).
@@ -1198,11 +1371,11 @@ def full_tick_fused_ring(
                   spec(n),
                   pl.BlockSpec((1, 1), lambda i, _sp: (0, 0),
                                memory_space=pltpu.VMEM)]
-                 + [wspec(a) for a in flat_params],
+                 + [wspec(a) for a in flat_params] + td_in_specs,
         out_specs=(
             spec(c), spec(n), spec(n), spec(n), spec(n), spec(n), spec(n),
             spec(n), ring_out_spec,
-        ),
+        ) + td_out_specs,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((c, num_envs), jnp.int8),
@@ -1214,15 +1387,17 @@ def full_tick_fused_ring(
         jax.ShapeDtypeStruct((n, num_envs), jnp.int8),
         jax.ShapeDtypeStruct((n, num_envs), jnp.int32),
         jax.ShapeDtypeStruct((obs_rows, capacity), obs_ring.dtype),
-    )
+    ) + td_out_shapes
     key_u32 = step_key.astype(jnp.uint32)
     sp = jnp.stack([
         jax.lax.bitcast_convert_type(key_u32[0], jnp.int32),
         jax.lax.bitcast_convert_type(key_u32[1], jnp.int32),
         (read_slot // block).astype(jnp.int32),
         (write_slot // block).astype(jnp.int32),
-        jnp.int32(0),
+        can_train.astype(jnp.int32) if td else jnp.int32(0),
         do_reset.astype(jnp.int32),
+        count.astype(jnp.int32) if td else jnp.int32(0),
+        jnp.int32(0),
     ])
     outs = pl.pallas_call(
         kernel,
@@ -1238,16 +1413,26 @@ def full_tick_fused_ring(
         obs_ring, tstate.ground, tstate.air_x, tstate.air_y,
         tstate.carrying, tstate.charge,
         epsilon.astype(jnp.float32).reshape(1, 1), *flat_params,
+        *td_inputs,
     )
     (ground, air_x, air_y, carrying, charge, rewards, dones, actions,
-     ring_out) = outs
-    return (
+     ring_out) = outs[:9]
+    result = (
         TState(ground, air_x, air_y, carrying, charge),
         rewards,
         dones != 0,
         actions,
         ring_out,
     )
+    if not td:
+        return result
+    td_outs = outs[9:]
+    l2 = 2 * n_layers
+    new_params = _unflatten_dense(td_outs[:l2])
+    new_mu = _unflatten_dense(td_outs[l2:2 * l2])
+    new_nu = _unflatten_dense(td_outs[2 * l2:3 * l2])
+    loss = td_outs[3 * l2][0, 0]
+    return result + (new_params, new_mu, new_nu, loss)
 
 
 # --- XLA-side companions of the ring kernel --------------------------------

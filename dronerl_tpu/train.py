@@ -34,6 +34,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from dronerl_tpu import replay
 from dronerl_tpu.agents.dqn import DQN, DQNConfig, DQNState
@@ -382,6 +383,7 @@ def build_train_step_ring(
     actor_rng_rounds=None,
     sample_before_kernel: bool = False,
     collect_drones: int = 1,
+    in_kernel_td=None,
 ):
     # The ring dtype is whatever init_ring_carry allocated (obs_dtype):
     # bf16 halves the kernel's per-step HBM obs write; the actor and TD
@@ -425,8 +427,37 @@ def build_train_step_ring(
     nb = capacity // num_envs  # ring length in steps
     obs_dim = agent.obs_dim
 
+    # In-kernel TD+Adam (round 5, opt-in): for dense nets the whole TD
+    # update can ride grid step 0 of the env kernel. The batch must be a
+    # kernel INPUT, but sampling before the dispatch makes the gather a
+    # second reader of the donated ring (XLA then copies the whole ring
+    # every step — measured +280 µs), so the batch is PIPELINED one step
+    # through the carry's aux slot: gathered after tick t's kernel (the
+    # normal sample-after window, single reader), trained inside tick
+    # t+1's kernel. Measured on-chip it is throughput-NEUTRAL vs the XLA
+    # learner (±15 µs/step of ~1,280: XLA already hides the tiny TD
+    # fusions under the kernel's DMA phases — PERF.md "In-kernel TD:
+    # a verified neutral result"), so the default stays the XLA learner
+    # (simpler state flow, exact optax numerics); the in-kernel path is
+    # kept tested (tests/test_fused_tick.py) as the building block for
+    # backends where the XLA tail is NOT free.
+    td_ok = (agent.net_spec is None
+             and agent.config.network_type == "dense")
+    if in_kernel_td is None:
+        in_kernel_td = False
+    elif in_kernel_td and not td_ok:
+        raise ValueError(
+            "in_kernel_td requires a dense network (got network_type=%s)"
+            % agent.config.network_type)
+    td_hparams = None
+    if in_kernel_td:
+        td_hparams = (float(agent.config.gamma),
+                      float(agent.config.learning_rate),
+                      0.9, 0.999, 1e-8)  # optax.adam defaults
+        assert NO_TRAIN_LOSS == -1.0  # the kernel hardcodes the sentinel
+
     def tick(carry, _):
-        rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _u, step = (
+        rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, aux, step = (
             carry)
         rng, step_key, sample_key = jax.random.split(rng, 3)
 
@@ -440,7 +471,7 @@ def build_train_step_ring(
                 num_envs=num_envs, capacity=capacity, batch_size=batch_size,
                 collect=k, obs_dim=obs_dim)
 
-        if sample_before_kernel:
+        if sample_before_kernel and not in_kernel_td:
             # Gather BEFORE the aliased kernel touches the ring.
             # Measured equivalent to sampling after (scripts/
             # ring_experiments.py; XLA inserts no ring copy either way —
@@ -453,37 +484,67 @@ def build_train_step_ring(
             valid = jnp.minimum(step, nb - 2) * num_envs
             batch = gather_batch(ring, valid, jnp.maximum(0, step + 2 - nb))
 
-        tstate, rewards_t, dones_t, actions_t, ring = (
-            fused_tick.full_tick_fused_ring(
-                step_key, tstate, ring, read_slot, write_slot,
-                ag_state.params, ag_state.epsilon,
-                step % reset_env_every == 0, env_params, k, interpret,
-                rng_rounds=rng_rounds, net_spec=agent.net_spec,
-                actor_rng_rounds=actor_rng_rounds))
+        # valid counts ring COLUMNS; each column holds k transitions and
+        # the per-drone gathers draw batch_size//k columns each.
+        if in_kernel_td:
+            # The carried batch was gathered after the PREVIOUS tick with
+            # valid = min(step, nb-1) columns (zero-seeded at step 0, so
+            # step 0 never trains — min(0, ·) == 0).
+            can_train = jnp.minimum(step, nb - 1) * num_envs >= (
+                batch_size // k)
+            adam = ag_state.opt_state[0]
+            (tstate, rewards_t, dones_t, actions_t, ring,
+             new_params, new_mu, new_nu, loss) = (
+                fused_tick.full_tick_fused_ring(
+                    step_key, tstate, ring, read_slot, write_slot,
+                    ag_state.params, ag_state.epsilon,
+                    step % reset_env_every == 0, env_params, k, interpret,
+                    rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                    actor_rng_rounds=actor_rng_rounds,
+                    td_hparams=td_hparams,
+                    td_batch=aux,
+                    td_aux=(ag_state.target_params, adam.mu, adam.nu,
+                            can_train, adam.count)))
+            new_count = jnp.where(
+                can_train, optax.safe_increment(adam.count), adam.count)
+            ag_state = ag_state.replace(
+                params=new_params,
+                opt_state=(adam._replace(
+                    count=new_count, mu=new_mu, nu=new_nu),)
+                + tuple(ag_state.opt_state[1:]))
+        else:
+            tstate, rewards_t, dones_t, actions_t, ring = (
+                fused_tick.full_tick_fused_ring(
+                    step_key, tstate, ring, read_slot, write_slot,
+                    ag_state.params, ag_state.epsilon,
+                    step % reset_env_every == 0, env_params, k, interpret,
+                    rng_rounds=rng_rounds, net_spec=agent.net_spec,
+                    actor_rng_rounds=actor_rng_rounds))
 
         # Scalars live at the same slot as this tick's input observation.
         a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(
             a_ring, r_ring, d_ring, actions_t, rewards_t, dones_t,
             read_slot, k)
 
-        if not sample_before_kernel:
+        if in_kernel_td or not sample_before_kernel:
             # Complete tuples after tick t: steps [max(0, t+2-nb), t] —
             # the newest ring write overwrote the oldest observation.
             valid = jnp.minimum(step + 1, nb - 1) * num_envs
             batch = gather_batch(ring, valid, jnp.maximum(0, step + 2 - nb))
 
-        # valid counts ring COLUMNS; each column holds k transitions and
-        # the per-drone gathers draw batch_size//k columns each.
-        ag_state, loss = jax.lax.cond(
-            valid >= batch_size // k,
-            lambda op: agent.train_step_t(op[0], op[1]),
-            lambda op: (op[0], NO_TRAIN_LOSS),
-            (ag_state, batch),
-        )
+        if in_kernel_td:
+            aux = batch  # consumed by the NEXT tick's in-kernel learner
+        else:
+            ag_state, loss = jax.lax.cond(
+                valid >= batch_size // k,
+                lambda op: agent.train_step_t(op[0], op[1]),
+                lambda op: (op[0], NO_TRAIN_LOSS),
+                (ag_state, batch),
+            )
         ag_state = agent.apply_schedules(ag_state, step, dones_t[0, 0])
 
         carry = (rng, (tstate, ring), (a_ring, r_ring, d_ring),
-                 ag_state, (), step + 1)
+                 ag_state, aux, step + 1)
         return carry, (rewards_t[0], ag_state.epsilon, loss)
 
     return tick
@@ -491,7 +552,8 @@ def build_train_step_ring(
 
 def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
                     capacity: int, rng: jax.Array,
-                    obs_dtype=jnp.float32, collect_drones: int = 1):
+                    obs_dtype=jnp.float32, collect_drones: int = 1,
+                    batch_size=None, in_kernel_td=None):
     """Initial carry for :func:`build_train_step_ring`.
 
     ``capacity`` counts ring columns; with ``collect_drones`` = k the obs
@@ -510,12 +572,33 @@ def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
     ring = jax.lax.dynamic_update_slice(ring, obs0.astype(obs_dtype), (0, 0))
     ag_state = agent.init_state(rng)
     scalar_shape = (capacity,) if k == 1 else (k, capacity)
+    # Aux slot: the in-kernel TD learner pipelines its replay batch one
+    # step through the carry (see build_train_step_ring) — zero-seeded,
+    # never trained on (step 0's can_train is False). Must mirror
+    # build_train_step_ring's in_kernel_td selection: pass the same
+    # in_kernel_td (+ batch_size) pair to both builders. Default off —
+    # the XLA learner measured throughput-equivalent (PERF.md round 5).
+    if in_kernel_td is None:
+        in_kernel_td = False
+    if in_kernel_td and batch_size is None:
+        raise ValueError("in_kernel_td carries the replay batch through "
+                         "the carry — pass batch_size")
+    if in_kernel_td:
+        aux = {
+            "obs": jnp.zeros((agent.obs_dim, batch_size), jnp.float32),
+            "next_obs": jnp.zeros((agent.obs_dim, batch_size), jnp.float32),
+            "actions": jnp.zeros((batch_size,), jnp.int32),
+            "rewards": jnp.zeros((batch_size,), jnp.float32),
+            "dones": jnp.zeros((batch_size,), jnp.float32),
+        }
+    else:
+        aux = ()
     return (
         rng, (tstate, ring),
         (jnp.zeros(scalar_shape, jnp.int32),
          jnp.zeros(scalar_shape, jnp.float32),
          jnp.zeros(scalar_shape, jnp.int8)),
-        ag_state, (), jnp.array(0),
+        ag_state, aux, jnp.array(0),
     )
 
 
@@ -1034,7 +1117,8 @@ def train(args, metrics_logger=None) -> dict:
             carry = init_ring_carry(
                 agent, env_params, args.num_envs, ring_columns, rng,
                 obs_dtype=jnp.dtype(args.ring_obs_dtype),
-                collect_drones=args.collect_drones)
+                collect_drones=args.collect_drones,
+                batch_size=args.batch_size)
             state0 = None
         elif use_fused:
             from dronerl_tpu.ops import fused_tick

@@ -47,7 +47,7 @@ rng = jax.random.PRNGKey(0)
 tick = build_train_step_ring(agent, env_params, num_envs, capacity,
                              batch_size=8, reset_env_every=100)
 carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
-                        obs_dtype=jnp.bfloat16)
+                        obs_dtype=jnp.bfloat16, batch_size=8)
 carry = jax.block_until_ready(carry)
 
 @jax.jit

@@ -51,7 +51,8 @@ def measure(num_envs: int, grid_size: int, n_drones: int, collect: int,
         agent, env_params, num_envs, capacity, batch_size=8,
         reset_env_every=100, collect_drones=collect)
     carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
-                            obs_dtype=jnp.bfloat16, collect_drones=collect)
+                            obs_dtype=jnp.bfloat16, collect_drones=collect,
+                            batch_size=8)
 
     @jax.jit
     def run(carry, dummy):

@@ -55,7 +55,7 @@ def measure(rng_rounds: int, actor_rng_rounds) -> dict:
         reset_env_every=10_000, rng_rounds=rng_rounds,
         actor_rng_rounds=actor_rng_rounds)
     carry = init_ring_carry(agent, env_params, NUM_ENVS, capacity, rng,
-                            obs_dtype=jnp.bfloat16)
+                            obs_dtype=jnp.bfloat16, batch_size=8)
 
     @jax.jit
     def run(carry, dummy):

@@ -57,7 +57,8 @@ def build(num_envs, rng_rounds=20):
         agent, ENV, num_envs, capacity, batch_size=8, reset_env_every=100,
         rng_rounds=rng_rounds)
     carry = init_ring_carry(agent, ENV, num_envs, capacity,
-                            jax.random.PRNGKey(0), obs_dtype=jnp.bfloat16)
+                            jax.random.PRNGKey(0), obs_dtype=jnp.bfloat16,
+                            batch_size=8)
     return agent, tick, carry, capacity
 
 
@@ -156,6 +157,12 @@ def main():
                 fused_tick._GridOps.air_spawn = (
                     lambda self, u, ax, ay, excl: (jnp.abs(ax), jnp.abs(ay)))
 
+            # The monkeypatched kernel section is NOT a jit static key:
+            # without dropping traces, every same-shape variant would
+            # silently reuse the previous variant's compiled program and
+            # report a bogus ≈0 section cost (round-5 lesson — the
+            # round-4 session's multi-variant run hit exactly this).
+            jax.clear_caches()
             agent, tick, carry, capacity = build(args.envs, rng_rounds)
             if variant == "kernel_only":
                 tick = kernel_only_tick(agent, args.envs, capacity)

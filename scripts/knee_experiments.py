@@ -68,7 +68,7 @@ def measure(num_envs: int, window_radius: int, steps: int, repeats: int,
             agent, env_params, num_envs, capacity, batch_size=8,
             reset_env_every=100)
         carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
-                                obs_dtype=jnp.bfloat16)
+                                obs_dtype=jnp.bfloat16, batch_size=8)
 
         @jax.jit
         def run(carry, dummy):

@@ -47,7 +47,8 @@ def measure(args, num_envs: int) -> dict:
         interpret=args.interpret)
     carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
                             obs_dtype=jnp.bfloat16,
-                            collect_drones=args.collect_drones)
+                            collect_drones=args.collect_drones,
+                            batch_size=args.batch_size)
 
     @jax.jit
     def run(carry, dummy):

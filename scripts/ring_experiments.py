@@ -37,7 +37,7 @@ def measure(num_envs: int, steps: int, repeats: int,
         agent, env_params, num_envs, capacity, batch_size=8,
         reset_env_every=100, sample_before_kernel=sample_before)
     carry = init_ring_carry(agent, env_params, num_envs, capacity, rng,
-                            obs_dtype=obs_dtype)
+                            obs_dtype=obs_dtype, batch_size=8)
 
     @jax.jit
     def run(carry, dummy):

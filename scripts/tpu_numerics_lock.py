@@ -74,7 +74,7 @@ def run_scenario(interpret: bool = False) -> dict:
         agent, env_params, NUM_ENVS, CAPACITY, batch_size=8,
         reset_env_every=100, interpret=interpret)
     carry = init_ring_carry(agent, env_params, NUM_ENVS, CAPACITY, rng,
-                            obs_dtype=jnp.bfloat16)
+                            obs_dtype=jnp.bfloat16, batch_size=8)
 
     @jax.jit
     def run(carry, dummy):

@@ -306,7 +306,7 @@ def test_ring_trainer_interpret():
     tick = build_train_step_ring(
         agent, params, E, cap, batch_size=8, reset_env_every=100,
         interpret=True)
-    carry = init_ring_carry(agent, params, E, cap, rng)
+    carry = init_ring_carry(agent, params, E, cap, rng, batch_size=8)
     obs0 = np.asarray(carry[1][1][:, :E])
     for t in range(3):
         carry, (rew, eps, _loss) = tick(carry, None)
@@ -423,8 +423,10 @@ def test_ring_trainer_bf16_interpret():
     tick = build_train_step_ring(
         agent, env_params, num_envs, capacity, batch_size=8,
         reset_env_every=100, interpret=True)
-    c32 = init_ring_carry(agent, env_params, num_envs, capacity, rng)
+    c32 = init_ring_carry(agent, env_params, num_envs, capacity, rng,
+                          batch_size=8)
     c16 = init_ring_carry(agent, env_params, num_envs, capacity, rng,
+                          batch_size=8,
                           obs_dtype=jnp.bfloat16)
     assert c16[1][1].dtype == jnp.bfloat16
     for _ in range(3):
@@ -489,7 +491,7 @@ def test_ring_trainer_global_interpret():
     tick = build_train_step_ring(
         agent, params, E, cap, batch_size=8, reset_env_every=100,
         interpret=True)
-    carry = init_ring_carry(agent, params, E, cap, rng)
+    carry = init_ring_carry(agent, params, E, cap, rng, batch_size=8)
     assert carry[1][1].shape == (agent.obs_dim, cap)
     for t in range(3):
         carry, (rew, eps, _loss) = tick(carry, None)
@@ -538,12 +540,12 @@ def test_ring_trainer_resume_bitwise_interpret(tmp_path):
             carry, _out = tick(carry, None)
         return carry
 
-    full = run(init_ring_carry(agent, params, E, cap, rng), 6)
+    full = run(init_ring_carry(agent, params, E, cap, rng, batch_size=8), 6)
 
-    half = run(init_ring_carry(agent, params, E, cap, rng), 3)
+    half = run(init_ring_carry(agent, params, E, cap, rng, batch_size=8), 3)
     path = os.path.join(str(tmp_path), "ring_state.msgpack")
     train_state_io.save(path, half)
-    template = init_ring_carry(agent, params, E, cap, rng)
+    template = init_ring_carry(agent, params, E, cap, rng, batch_size=8)
     resumed = run(train_state_io.restore(path, template), 3)
 
     leaves_a, treedef_a = jax.tree.flatten(full)
@@ -569,7 +571,8 @@ def test_ring_trainer_multicollect_interpret():
     tick = build_train_step_ring(
         agent, params, E, cap, batch_size=8, reset_env_every=100,
         interpret=True, collect_drones=k)
-    carry = init_ring_carry(agent, params, E, cap, rng, collect_drones=k)
+    carry = init_ring_carry(agent, params, E, cap, rng, collect_drones=k,
+                            batch_size=8)
     D = agent.obs_dim
     assert carry[1][1].shape == (k * D, cap)
     assert carry[2][0].shape == (k, cap)
@@ -717,7 +720,7 @@ def test_ring_trainer_conv_actor_interpret():
     tick = build_train_step_ring(
         agent, params, E, cap, batch_size=8, reset_env_every=100,
         interpret=True)
-    carry = init_ring_carry(agent, params, E, cap, rng)
+    carry = init_ring_carry(agent, params, E, cap, rng, batch_size=8)
     obs0 = np.asarray(carry[1][1][:, :E])
     for t in range(3):
         carry, (rew, eps, _loss) = tick(carry, None)
@@ -848,3 +851,124 @@ def test_full_tick_actor_rounds_none_is_default_contract():
         params, 1, interpret=True, actor_rng_rounds=20)
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_in_kernel_td_matches_xla_learner():
+    """The round-5 in-kernel TD+Adam (grid-step-0 learner) must track
+    the XLA learner (DQN.train_step_t + optax.adam) on the identical
+    batch stream. The production tick pipelines the batch one step
+    through the carry (gathered after tick t with the sample-after
+    window, trained inside tick t+1's kernel — see
+    build_train_step_ring), so the reference here is a manual loop with
+    the same pipeline: act/step via the no-TD kernel with theta_t, THEN
+    train theta via train_step_t on the carried batch, matching the
+    kernel's own ordering (the kernel actor reads the input params).
+    Env side must be bitwise; learner floats agree to ULP-level (the
+    bias-correction power is exp/log in-kernel vs optax's pow), far
+    inside the Tier-B numerics band."""
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    E, cap, bs = 128, 4 * 128, 8
+    nb = cap // E
+    agent = DQN(DQNConfig(hidden_layers=(16, 16), epsilon_decay_every=5,
+                          target_update_interval=5), params)
+    rng0 = jax.random.PRNGKey(3)
+    tick_td = build_train_step_ring(
+        agent, params, E, cap, bs, reset_env_every=50, interpret=True,
+        in_kernel_td=True)
+    c_td = init_ring_carry(agent, params, E, cap, rng0,
+                           obs_dtype=jnp.bfloat16, batch_size=bs,
+                           in_kernel_td=True)
+
+    ref = init_ring_carry(agent, params, E, cap, rng0,
+                          obs_dtype=jnp.bfloat16)  # aux=() reference
+    rng, (tstate, ring), (a_ring, r_ring, d_ring), ag_state, _, _s = ref
+    batch_prev = jax.tree.map(jnp.zeros_like, c_td[4])
+    obs_dim = agent.obs_dim
+
+    for t in range(6):
+        c_td, (rew_t, eps_t, loss_t) = tick_td(c_td, None)
+
+        # --- reference tick (same pipeline, XLA learner) -------------
+        rng, step_key, sample_key = jax.random.split(rng, 3)
+        read_slot = (t % nb) * E
+        write_slot = ((t + 1) % nb) * E
+        # env/actor side first, with theta_t (the kernel actor reads the
+        # INPUT params; the in-kernel learner writes separate outputs)
+        tstate, rewards_r, dones_r, actions_r, ring = (
+            fused_tick.full_tick_fused_ring(
+                step_key, tstate, ring, read_slot, write_slot,
+                ag_state.params, ag_state.epsilon,
+                jnp.array(t % 50 == 0), params, 1, True))
+        can_train = min(t, nb - 1) * E >= bs
+        if can_train:
+            ag_state, loss_ref = agent.train_step_t(ag_state, batch_prev)
+        else:
+            loss_ref = jnp.float32(-1.0)
+        a_ring, r_ring, d_ring = fused_tick.ring_scalar_writes(
+            a_ring, r_ring, d_ring, actions_r, rewards_r, dones_r,
+            read_slot, 1)
+        valid = min(t + 1, nb - 1) * E
+        batch_prev = fused_tick.ring_gather_batch(
+            sample_key, ring, a_ring, r_ring, d_ring, jnp.int32(valid),
+            jnp.int32(max(0, t + 2 - nb)), num_envs=E, capacity=cap,
+            batch_size=bs, collect=1, obs_dim=obs_dim)
+        ag_state = agent.apply_schedules(
+            ag_state, jnp.int32(t), dones_r[0, 0])
+
+        # --- compare ---------------------------------------------------
+        np.testing.assert_array_equal(
+            np.asarray(c_td[1][0].ground), np.asarray(tstate.ground))
+        np.testing.assert_array_equal(
+            np.asarray(c_td[1][1]), np.asarray(ring))
+        np.testing.assert_array_equal(
+            np.asarray(rew_t), np.asarray(rewards_r[0]))
+        np.testing.assert_allclose(
+            float(loss_t), float(loss_ref), rtol=1e-6, atol=1e-7)
+        at, ar = c_td[3], ag_state
+        assert int(at.opt_state[0].count) == int(ar.opt_state[0].count), t
+        for lt_, lr_ in zip(jax.tree.leaves(at.params),
+                            jax.tree.leaves(ar.params)):
+            np.testing.assert_allclose(
+                np.asarray(lt_), np.asarray(lr_), rtol=1e-5, atol=1e-6)
+        for tree_t, tree_r in ((at.opt_state[0].mu, ar.opt_state[0].mu),
+                               (at.opt_state[0].nu, ar.opt_state[0].nu)):
+            for lt_, lr_ in zip(jax.tree.leaves(tree_t),
+                                jax.tree.leaves(tree_r)):
+                np.testing.assert_allclose(
+                    np.asarray(lt_), np.asarray(lr_), rtol=1e-5, atol=1e-6)
+    # both must actually have trained by now
+    assert int(c_td[3].opt_state[0].count) > 0
+    assert float(loss_t) != -1.0
+
+
+def test_in_kernel_td_guards():
+    """in_kernel_td=True must fail fast on unsupported configs (the
+    in-kernel learner is dense-only; conv/XLA-actor configs keep the
+    XLA learner), and the auto default must stay consistent between
+    build_train_step_ring and init_ring_carry."""
+    from dronerl_tpu.train import build_train_step_ring, init_ring_carry
+
+    params = EnvParams(grid_size=9, n_drones=4)
+    conv_agent = DQN(DQNConfig(network_type="conv", conv_dense_layers=(8,),
+                               conv_matmul=True), params)
+    with pytest.raises(ValueError, match="in_kernel_td"):
+        build_train_step_ring(conv_agent, params, 128, 4 * 128, 8,
+                              reset_env_every=50, in_kernel_td=True)
+    # default (in_kernel_td off): aux stays () even with batch_size
+    carry = init_ring_carry(conv_agent, params, 128, 4 * 128,
+                            jax.random.PRNGKey(0), batch_size=8)
+    assert carry[4] == ()
+    # explicit opt-in seeds the pipelined-batch aux slot
+    dense_agent = DQN(DQNConfig(hidden_layers=(16, 16)), params)
+    carry = init_ring_carry(dense_agent, params, 128, 4 * 128,
+                            jax.random.PRNGKey(0), batch_size=8,
+                            in_kernel_td=True)
+    assert set(carry[4]) == {"obs", "next_obs", "actions", "rewards",
+                             "dones"}
+    assert carry[4]["obs"].shape == (dense_agent.obs_dim, 8)
+    # opting in without batch_size must fail fast
+    with pytest.raises(ValueError, match="batch_size"):
+        init_ring_carry(dense_agent, params, 128, 4 * 128,
+                        jax.random.PRNGKey(0), in_kernel_td=True)
