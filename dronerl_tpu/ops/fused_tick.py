@@ -1445,9 +1445,9 @@ def ring_scalar_writes(a_ring, r_ring, d_ring, actions_t, rewards_t,
                        dones_t, read_slot, collect: int):
     """Record this tick's scalars at the slot of its input observation.
 
-    ``collect`` == 1 keeps the historical flat (capacity,) ring shapes
-    (the shipped bench cache stays valid); k > 1 rings carry a leading k
-    axis and store all k drones' transitions per column.
+    ``collect`` == 1 keeps the historical flat (capacity,) ring shapes;
+    k > 1 rings carry a leading k axis and store all k drones'
+    transitions per column.
     """
     if collect == 1:
         a_ring = jax.lax.dynamic_update_slice(
@@ -1486,25 +1486,38 @@ def ring_gather_batch(sample_key, ring, a_ring, r_ring, d_ring, valid,
             sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
         phys = (base_slot + raw) % capacity
         nxt = (phys + num_envs) % capacity
+        # Round-5 gather consolidation: the replay gather is the ring
+        # tail's dominant cost (≈143 µs/step measured by stubbing it —
+        # PERF.md "Round-5 budget revision"). One take serves obs AND
+        # next_obs (concatenated indices, split after — bitwise-
+        # identical values). Stacking the three scalar rings into one
+        # f32 take measured SLOWER (+47 µs: the 3×capacity stack
+        # materializes every step), so those stay separate.
+        both = jnp.take(
+            ring, jnp.concatenate([phys, nxt]), axis=1).astype(jnp.float32)
         return {
-            "obs": jnp.take(ring, phys, axis=1).astype(jnp.float32),
-            "next_obs": jnp.take(ring, nxt, axis=1).astype(jnp.float32),
+            "obs": both[:, :batch_size],
+            "next_obs": both[:, batch_size:],
             "actions": jnp.take(a_ring, phys, axis=0),
             "rewards": jnp.take(r_ring, phys, axis=0),
             "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
         }
     raw = jax.random.randint(
         sample_key, (k, batch_size // k), 0, jnp.maximum(valid, 1))
+    # Same obs-gather consolidation as k == 1, per drone row-group (the
+    # scalar takes stay separate — stacking the full rings measured
+    # slower, see the k == 1 comment).
     parts = {key: [] for key in
              ("obs", "next_obs", "actions", "rewards", "dones")}
+    per = batch_size // k
     for j in range(k):
         phys = (base_slot + raw[j]) % capacity
         nxt = (phys + num_envs) % capacity
         rows = ring[j * obs_dim:(j + 1) * obs_dim]
-        parts["obs"].append(
-            jnp.take(rows, phys, axis=1).astype(jnp.float32))
-        parts["next_obs"].append(
-            jnp.take(rows, nxt, axis=1).astype(jnp.float32))
+        both = jnp.take(
+            rows, jnp.concatenate([phys, nxt]), axis=1).astype(jnp.float32)
+        parts["obs"].append(both[:, :per])
+        parts["next_obs"].append(both[:, per:])
         parts["actions"].append(jnp.take(a_ring[j], phys, axis=0))
         parts["rewards"].append(jnp.take(r_ring[j], phys, axis=0))
         parts["dones"].append(

@@ -404,8 +404,7 @@ def build_train_step_ring(
     ring COLUMNS = env slots; k transitions live per column), the scalar
     rings grow a leading k axis, and sampling draws batch_size//k
     column indices per drone row-group so every gather keeps a static
-    row slice. k == 1 compiles to the exact historical program (the
-    shipped bench cache stays valid).
+    row slice. k == 1 keeps the historical flat scalar-ring shapes.
 
     Carry: ``(rng, (tstate, obs_ring), (act_ring, rew_ring, done_ring),
     ag_state, (), step)`` — the trainer-wide convention keeps the agent
@@ -559,7 +558,7 @@ def init_ring_carry(agent: DQN, env_params: EnvParams, num_envs: int,
     ``capacity`` counts ring columns; with ``collect_drones`` = k the obs
     ring stacks the k drones' observations as row groups (k·obs_dim rows)
     and the scalar rings carry a leading k axis (k == 1 keeps the
-    historical flat shapes so the shipped bench cache stays valid).
+    historical flat shapes).
     """
     from dronerl_tpu.ops import fused_tick
 
