@@ -1493,6 +1493,28 @@ def ring_gather_batch(sample_key, ring, a_ring, r_ring, d_ring, valid,
         # identical values). Stacking the three scalar rings into one
         # f32 take measured SLOWER (+47 µs: the 3×capacity stack
         # materializes every step), so those stay separate.
+        if os.environ.get("DRONERL_GATHER_DS") == "1":
+            # Measurement variant: unrolled dynamic slices instead of a
+            # gather (TPU gathers serialize per index; dynamic_slice
+            # pipelines). Bitwise-identical batch values.
+            idx = jnp.concatenate([phys, nxt])
+            cols = [
+                jax.lax.dynamic_slice_in_dim(ring, idx[i], 1, axis=1)
+                for i in range(2 * batch_size)]
+            both = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+            return {
+                "obs": both[:, :batch_size],
+                "next_obs": both[:, batch_size:],
+                "actions": jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(a_ring, phys[i], 1)
+                    for i in range(batch_size)]),
+                "rewards": jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(r_ring, phys[i], 1)
+                    for i in range(batch_size)]),
+                "dones": jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(d_ring, phys[i], 1)
+                    for i in range(batch_size)]).astype(jnp.float32),
+            }
         both = jnp.take(
             ring, jnp.concatenate([phys, nxt]), axis=1).astype(jnp.float32)
         return {
