@@ -1486,49 +1486,36 @@ def ring_gather_batch(sample_key, ring, a_ring, r_ring, d_ring, valid,
             sample_key, (batch_size,), 0, jnp.maximum(valid, 1))
         phys = (base_slot + raw) % capacity
         nxt = (phys + num_envs) % capacity
-        # Round-5 gather consolidation: the replay gather is the ring
-        # tail's dominant cost (≈143 µs/step measured by stubbing it —
-        # PERF.md "Round-5 budget revision"). One take serves obs AND
-        # next_obs (concatenated indices, split after — bitwise-
-        # identical values). Stacking the three scalar rings into one
-        # f32 take measured SLOWER (+47 µs: the 3×capacity stack
-        # materializes every step), so those stay separate.
-        if os.environ.get("DRONERL_GATHER_DS") == "1":
-            # Measurement variant: unrolled dynamic slices instead of a
-            # gather (TPU gathers serialize per index; dynamic_slice
-            # pipelines). Bitwise-identical batch values.
-            idx = jnp.concatenate([phys, nxt])
-            cols = [
-                jax.lax.dynamic_slice_in_dim(ring, idx[i], 1, axis=1)
-                for i in range(2 * batch_size)]
-            both = jnp.concatenate(cols, axis=1).astype(jnp.float32)
-            return {
-                "obs": both[:, :batch_size],
-                "next_obs": both[:, batch_size:],
-                "actions": jnp.concatenate([
-                    jax.lax.dynamic_slice_in_dim(a_ring, phys[i], 1)
-                    for i in range(batch_size)]),
-                "rewards": jnp.concatenate([
-                    jax.lax.dynamic_slice_in_dim(r_ring, phys[i], 1)
-                    for i in range(batch_size)]),
-                "dones": jnp.concatenate([
-                    jax.lax.dynamic_slice_in_dim(d_ring, phys[i], 1)
-                    for i in range(batch_size)]).astype(jnp.float32),
-            }
-        both = jnp.take(
-            ring, jnp.concatenate([phys, nxt]), axis=1).astype(jnp.float32)
+        # Round-5 gather attack: the replay gather was the ring tail's
+        # dominant cost (≈143 µs/step measured by stubbing it — PERF.md
+        # "Round-5 budget revision"). TPU gathers serialize per index;
+        # UNROLLED dynamic slices pipeline instead — measured
+        # 1,177 → 1,079 µs/step (+9.1% obs/s) with bitwise-identical
+        # batch values. (Two measured negative results on the way:
+        # stacking the 3 scalar rings into one f32 take cost +47 µs —
+        # the stack materializes 3×capacity every step — and a single
+        # combined obs+next take was throughput-neutral.)
+        idx = jnp.concatenate([phys, nxt])
+        cols = [
+            jax.lax.dynamic_slice_in_dim(ring, idx[i], 1, axis=1)
+            for i in range(2 * batch_size)]
+        both = jnp.concatenate(cols, axis=1).astype(jnp.float32)
         return {
             "obs": both[:, :batch_size],
             "next_obs": both[:, batch_size:],
-            "actions": jnp.take(a_ring, phys, axis=0),
-            "rewards": jnp.take(r_ring, phys, axis=0),
-            "dones": jnp.take(d_ring, phys, axis=0).astype(jnp.float32),
+            "actions": jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(a_ring, phys[i], 1)
+                for i in range(batch_size)]),
+            "rewards": jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(r_ring, phys[i], 1)
+                for i in range(batch_size)]),
+            "dones": jnp.concatenate([
+                jax.lax.dynamic_slice_in_dim(d_ring, phys[i], 1)
+                for i in range(batch_size)]).astype(jnp.float32),
         }
     raw = jax.random.randint(
         sample_key, (k, batch_size // k), 0, jnp.maximum(valid, 1))
-    # Same obs-gather consolidation as k == 1, per drone row-group (the
-    # scalar takes stay separate — stacking the full rings measured
-    # slower, see the k == 1 comment).
+    # Same dynamic-slice gather as k == 1, per drone row-group.
     parts = {key: [] for key in
              ("obs", "next_obs", "actions", "rewards", "dones")}
     per = batch_size // k
@@ -1536,13 +1523,20 @@ def ring_gather_batch(sample_key, ring, a_ring, r_ring, d_ring, valid,
         phys = (base_slot + raw[j]) % capacity
         nxt = (phys + num_envs) % capacity
         rows = ring[j * obs_dim:(j + 1) * obs_dim]
-        both = jnp.take(
-            rows, jnp.concatenate([phys, nxt]), axis=1).astype(jnp.float32)
+        idx = jnp.concatenate([phys, nxt])
+        both = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(rows, idx[i], 1, axis=1)
+            for i in range(2 * per)], axis=1).astype(jnp.float32)
         parts["obs"].append(both[:, :per])
         parts["next_obs"].append(both[:, per:])
-        parts["actions"].append(jnp.take(a_ring[j], phys, axis=0))
-        parts["rewards"].append(jnp.take(r_ring[j], phys, axis=0))
-        parts["dones"].append(
-            jnp.take(d_ring[j], phys, axis=0).astype(jnp.float32))
+        parts["actions"].append(jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(a_ring[j], phys[i], 1)
+            for i in range(per)]))
+        parts["rewards"].append(jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(r_ring[j], phys[i], 1)
+            for i in range(per)]))
+        parts["dones"].append(jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(d_ring[j], phys[i], 1)
+            for i in range(per)]).astype(jnp.float32))
     return {key: jnp.concatenate(vals, axis=-1)
             for key, vals in parts.items()}
